@@ -1,0 +1,83 @@
+"""Frozen configuration for the whole pipeline.
+
+Reference parity: GHOSTM's CLI exposes seed length, candidate limits, scoring
+matrix, gap penalties and output limits (SURVEY.md §5.6 — family convention;
+the reference mount was empty, see SURVEY.md §0). Every reference-visible knob
+is a field here so agreement runs can mirror reference settings exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """All tunables for index build + search. Defaults target short
+    (~100 bp) metagenomic reads vs a protein DB, GHOSTM's design point."""
+
+    # --- seeding (SURVEY.md §1.1 step 3) ---
+    seed_len: int = 3            # k — amino-acid k-mer length of the seed index
+    hits_per_seed: int = 16      # cap on index positions expanded per query seed
+    min_votes: int = 1           # min seed hits on a diagonal bin to be a candidate
+    candidates_per_frame: int = 8  # top-N candidate regions kept per query frame
+
+    # --- alignment (SURVEY.md §1.1 step 4) ---
+    band_width: int = 32         # banded SW band (diagonal span), multiple of 8
+    gap_open: int = 11           # affine gap open penalty (positive)
+    gap_extend: int = 1          # affine gap extend penalty (positive)
+    matrix: str = "BLOSUM62"
+    x_drop: Optional[int] = None  # reserved; reference uses plain banded SW
+
+    # --- query handling ---
+    query_frame_len: int = 40    # max residues per translated frame (pad/truncate);
+                                 # 100 bp reads -> ceil(100/3)=34 aa
+    query_batch: int = 4096      # reads per device batch (static shape)
+
+    # --- reporting (SURVEY.md §1.1 step 5) ---
+    max_hits: int = 10           # top-k reported alignments per read
+    evalue_cutoff: float = 10.0
+    # Karlin-Altschul gapped params for BLOSUM62/(11,1) (NCBI table values)
+    ka_lambda: float = 0.267
+    ka_k: float = 0.041
+
+    # --- index build ---
+    shards: int = 1              # DB shards written by `db` mode
+    # Sentinel residues between subjects. MUST be >= band_width: within a
+    # band of width B, advancing the subject by P positions without paying
+    # substitution scores requires a query-gap of length P, which needs the
+    # in-band diagonal offset to grow by P <= B-1; with a sentinel run of
+    # length >= B no alignment can bridge two subjects.
+    sentinel_pad: int = 64
+
+    # --- distribution (SURVEY.md §2.1) ---
+    data_axis: int = 1           # mesh size along "data" (query DP)
+    db_axis: int = 1             # mesh size along "db" (index sharding)
+
+    # --- observability (SURVEY.md §5.1, §5.5) ---
+    profile_dir: Optional[str] = None
+    log_json: bool = False
+    checkpoint_batches: int = 0  # >0: write per-batch result parts + cursor
+
+    def __post_init__(self):
+        if self.band_width % 8 != 0:
+            raise ValueError("band_width must be a multiple of 8 (TPU sublane)")
+        if self.seed_len < 2 or self.seed_len > 5:
+            raise ValueError("seed_len must be in [2, 5]")
+        if self.sentinel_pad < max(self.seed_len, self.band_width):
+            raise ValueError("sentinel_pad must be >= max(seed_len, band_width)")
+
+    @classmethod
+    def from_json(cls, path: str, **overrides) -> "Config":
+        with open(path) as f:
+            d = json.load(f)
+        d.update(overrides)
+        return cls(**d)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)

@@ -1,0 +1,166 @@
+"""Banded Smith-Waterman in pure XLA (lax.scan) + traceback support.
+
+Same cell semantics and tie-breaks as ghostm_tpu.oracle.sw_banded (see its
+module docstring for the contract). Three uses:
+  1. CPU/interpret-mode reference for the Pallas kernel (tests);
+  2. the FINAL-HIT path: `sw_banded_moves` records per-cell traceback moves
+     so the engine can recover start coordinates and alignment statistics
+     (identities/gaps) for the few reported hits — the reference recomputes
+     this per hit too (SURVEY.md §1.1 step 5);
+  3. fallback when Pallas is unavailable.
+
+The in-row E dependency (gap-in-query) is resolved with an EXACT prefix
+max-scan: E[b] = max_{b'<b}(Ht[b'] + b'*ge) - (open+ext) - (b-1)*ge, where Ht
+is H computed without E. Opening a gap out of a gap-end cell is dominated
+whenever open >= 0, so the scan over Ht is exact (Farrar/SWIPE-style row
+scan re-derived for the skewed band layout).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+NEG = -(1 << 30)
+
+
+def banded_scores(
+    qcodes: jnp.ndarray, windows: jnp.ndarray, matrix: jnp.ndarray, band: int
+) -> jnp.ndarray:
+    """Precompute substitution scores for the skewed band.
+
+    Args:
+      qcodes: (N, Lq) int8/int32 query codes.
+      windows: (N, Lq + band) int8/int32 subject buffer slices starting at g0.
+      matrix: (32, 32) int32 padded scoring table.
+    Returns:
+      (N, Lq, band) int32 with sc[n, i, b] = matrix[q[n,i], windows[n, i+b]].
+    """
+    Lq = qcodes.shape[1]
+    mq = matrix[qcodes.astype(jnp.int32)]  # (N, Lq, 32)
+    tc = jnp.stack(
+        [windows[:, b : b + Lq] for b in range(band)], axis=-1
+    ).astype(jnp.int32)  # (N, Lq, band)
+    return jnp.take_along_axis(mq, tc, axis=-1)
+
+
+def _row_step(go1, ge, bext, cvec, carry, s):
+    H, F, bestH, bestI, i = carry
+    shl = lambda x: jnp.concatenate(
+        [x[:, 1:], jnp.full_like(x[:, :1], NEG)], axis=1
+    )
+    Fn = jnp.maximum(shl(H) - go1, shl(F) - ge)
+    Ht = jnp.maximum(jnp.maximum(H + s, Fn), 0)
+    T = Ht + bext
+    ic = lax.cummax(T, axis=1)
+    P = jnp.concatenate([jnp.full_like(ic[:, :1], NEG), ic[:, :-1]], axis=1)
+    E = P - cvec
+    Hn = jnp.maximum(Ht, E)
+    better = Hn > bestH
+    bestH = jnp.where(better, Hn, bestH)
+    bestI = jnp.where(better, i, bestI)
+    return (Hn, Fn, bestH, bestI, i + 1), None
+
+
+def _finalize(bestH, bestI, band):
+    """Reduce (N, B) per-diagonal bests to (score, i_end, b_end) with the
+    contract tie-break: max score, then min i, then min b."""
+    N, B = bestH.shape
+    big = jnp.int32(1 << 30)
+    score = jnp.max(bestH, axis=1)
+    m1 = bestH == score[:, None]
+    i_end = jnp.min(jnp.where(m1, bestI, big), axis=1)
+    m2 = m1 & (bestI == i_end[:, None])
+    barange = jnp.arange(B, dtype=jnp.int32)[None, :]
+    b_end = jnp.min(jnp.where(m2, barange, big), axis=1)
+    empty = score <= 0
+    i_end = jnp.where(empty, -1, i_end)
+    b_end = jnp.where(empty, -1, b_end)
+    return score, i_end.astype(jnp.int32), b_end.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("gap_open", "gap_extend"))
+def sw_banded(
+    sc: jnp.ndarray, gap_open: int, gap_extend: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched banded SW over precomputed scores.
+
+    Args: sc (N, Lq, B) int32. Returns (score, i_end, b_end), each (N,) int32.
+    """
+    N, Lq, B = sc.shape
+    go1 = jnp.int32(gap_open + gap_extend)
+    ge = jnp.int32(gap_extend)
+    bext = (jnp.arange(B, dtype=jnp.int32) * ge)[None, :]
+    cvec = (go1 + (jnp.arange(B, dtype=jnp.int32) - 1) * ge)[None, :]
+    init = (
+        jnp.zeros((N, B), jnp.int32),
+        jnp.full((N, B), NEG, jnp.int32),
+        jnp.zeros((N, B), jnp.int32),
+        jnp.zeros((N, B), jnp.int32),
+        jnp.int32(0),
+    )
+    step = functools.partial(_row_step, go1, ge, bext, cvec)
+    (H, F, bestH, bestI, _), _ = lax.scan(step, init, jnp.moveaxis(sc, 1, 0))
+    return _finalize(bestH, bestI, B)
+
+
+# --- moves variant (final hits only) -------------------------------------
+# Move encoding per cell, packed in one uint8:
+#   bits 0-1: H choice — 0 stop(0), 1 diag, 2 E(left), 3 F(up)
+#   bit  2:   E opened here (came from Ht[b-1]-go1) vs extended
+#   bit  3:   F opened here (came from H[i-1,b+1]-go1) vs extended
+# Tie priority for H: diag > E > F > stop (deterministic stats).
+
+
+@functools.partial(jax.jit, static_argnames=("gap_open", "gap_extend"))
+def sw_banded_moves(sc: jnp.ndarray, gap_open: int, gap_extend: int):
+    N, Lq, B = sc.shape
+    go1 = jnp.int32(gap_open + gap_extend)
+    ge = jnp.int32(gap_extend)
+    bext = (jnp.arange(B, dtype=jnp.int32) * ge)[None, :]
+    cvec = (go1 + (jnp.arange(B, dtype=jnp.int32) - 1) * ge)[None, :]
+
+    def step(carry, s):
+        H, F, bestH, bestI, i = carry
+        shl = lambda x: jnp.concatenate(
+            [x[:, 1:], jnp.full_like(x[:, :1], NEG)], axis=1
+        )
+        f_open_src = shl(H) - go1
+        f_ext_src = shl(F) - ge
+        Fn = jnp.maximum(f_open_src, f_ext_src)
+        f_open = f_open_src >= f_ext_src
+        Ht = jnp.maximum(jnp.maximum(H + s, Fn), 0)
+        T = Ht + bext
+        ic = lax.cummax(T, axis=1)
+        P = jnp.concatenate([jnp.full_like(ic[:, :1], NEG), ic[:, :-1]], axis=1)
+        E = P - cvec
+        Hn = jnp.maximum(Ht, E)
+        # E origin: opened from the immediately-left final H, else extension.
+        h_left = jnp.concatenate([jnp.full_like(Hn[:, :1], NEG), Hn[:, :-1]], axis=1)
+        e_open = (h_left - go1) >= E
+        diag_v = H + s
+        hc = jnp.where(
+            Hn == 0,
+            0,
+            jnp.where(diag_v == Hn, 1, jnp.where(E == Hn, 2, 3)),
+        ).astype(jnp.uint8)
+        mv = hc | (e_open.astype(jnp.uint8) << 2) | (f_open.astype(jnp.uint8) << 3)
+        better = Hn > bestH
+        bestH = jnp.where(better, Hn, bestH)
+        bestI = jnp.where(better, i, bestI)
+        return (Hn, Fn, bestH, bestI, i + 1), mv
+
+    init = (
+        jnp.zeros((N, B), jnp.int32),
+        jnp.full((N, B), NEG, jnp.int32),
+        jnp.zeros((N, B), jnp.int32),
+        jnp.zeros((N, B), jnp.int32),
+        jnp.int32(0),
+    )
+    (H, F, bestH, bestI, _), moves = lax.scan(step, init, jnp.moveaxis(sc, 1, 0))
+    score, i_end, b_end = _finalize(bestH, bestI, B)
+    return score, i_end, b_end, jnp.moveaxis(moves, 0, 1)  # (N, Lq, B)

@@ -1,0 +1,77 @@
+"""Index build / load round-trip and seed-lookup correctness (SURVEY.md §4.2)."""
+
+import numpy as np
+
+from ghostm_tpu.index import diskio, seeds, store
+from ghostm_tpu.ops.encode import SENTINEL, decode_aa
+
+
+def _records(rng, n, lo=20, hi=60):
+    recs = []
+    for i in range(n):
+        length = int(rng.integers(lo, hi))
+        seq = "".join(rng.choice(list("ARNDCQEGHILKMFPSTWYV"), size=length))
+        recs.append((f"subj{i}", seq.encode()))
+    return recs
+
+
+def test_store_layout(rng):
+    recs = _records(rng, 5)
+    st = store.build_store(recs, sentinel_pad=8)
+    assert st.num_subjects == 5
+    for i, (name, seq) in enumerate(recs):
+        assert decode_aa(st.subject_seq(i)) == seq.decode()
+        assert st.pos_to_subject(np.array([st.starts[i]]))[0] == i
+    # sentinel separation
+    assert (st.buffer[:8] == SENTINEL).all()
+    assert st.buffer[st.starts[0] + st.lengths[0]] == SENTINEL
+
+
+def test_seed_index_matches_oracle(rng):
+    recs = _records(rng, 4)
+    st = store.build_store(recs, sentinel_pad=8)
+    k = 3
+    idx = seeds.build_seed_index(st.buffer, k)
+    keys = seeds.kmer_keys(st.buffer, k)
+    # every bucket holds exactly the positions with that key, position-sorted
+    for key in rng.integers(0, 20**k, size=50):
+        lo, hi = idx.bucket_starts[key], idx.bucket_starts[key + 1]
+        got = idx.positions[lo:hi]
+        want = np.nonzero(keys == key)[0]
+        assert list(got) == list(want)
+    # overflow bucket is empty
+    nb = 20**k
+    assert idx.bucket_starts[nb] == idx.bucket_starts[nb + 1] == len(idx.positions)
+
+
+def test_kmer_keys_invalid_windows():
+    # sentinel/X residues never form seeds
+    buf = np.array([0, 1, 2, SENTINEL, 3, 4, 5], dtype=np.int8)
+    keys = seeds.kmer_keys(buf, 3)
+    nb = 20**3
+    assert keys[0] == 0 * 400 + 1 * 20 + 2
+    assert keys[1] == nb and keys[2] == nb and keys[3] == nb
+    assert keys[4] == 3 * 400 + 4 * 20 + 5
+
+
+def test_disk_roundtrip(tmp_path, rng):
+    recs = _records(rng, 10)
+    assign = store.shard_records(recs, 3)
+    shards = []
+    for ids in assign:
+        st = store.build_store(
+            [recs[i] for i in ids], sentinel_pad=8, subject_ids=ids
+        )
+        shards.append(diskio.IndexShard(st, seeds.build_seed_index(st.buffer, 3)))
+    prefix = str(tmp_path / "db")
+    diskio.save_index(prefix, shards, seed_len=3)
+    loaded = diskio.load_index(prefix)
+    assert loaded.seed_len == 3
+    assert loaded.buffers.shape[0] == 3
+    assert loaded.total_residues == sum(len(s) for _, s in recs)
+    # all global subject ids present exactly once
+    all_ids = np.concatenate([sh.store.subject_ids for sh in loaded.shards])
+    assert sorted(all_ids) == list(range(10))
+    # padded region is sentinel
+    sh0 = loaded.shards[0]
+    assert (loaded.buffers[0, len(sh0.store.buffer):] == SENTINEL).all()

@@ -1,0 +1,92 @@
+"""Unit tests: encoding, translation, scoring tables, E-values (SURVEY.md §4.2)."""
+
+import numpy as np
+import pytest
+
+from ghostm_tpu.ops import encode, evalue, scoring, translate
+
+
+def test_encode_aa_roundtrip():
+    s = "ARNDCQEGHILKMFPSTWYVBZX*"
+    codes = encode.encode_aa(s)
+    assert list(codes) == list(range(24))
+    assert encode.decode_aa(codes) == s
+
+
+def test_encode_aa_unknown_and_case():
+    assert encode.encode_aa("a")[0] == 0
+    assert encode.encode_aa("?")[0] == encode.AA_X
+    assert encode.encode_aa("U")[0] == encode.encode_aa("C")[0]
+
+
+def test_encode_dna():
+    assert list(encode.encode_dna("ACGTacgtN?")) == [0, 1, 2, 3, 0, 1, 2, 3, 4, 4]
+
+
+def test_blosum62_spot_values():
+    b = scoring.BLOSUM62
+    aa = {c: i for i, c in enumerate(encode.AA_ALPHABET)}
+    # Canonical NCBI BLOSUM62 entries.
+    assert b[aa["W"], aa["W"]] == 11
+    assert b[aa["A"], aa["A"]] == 4
+    assert b[aa["C"], aa["C"]] == 9
+    assert b[aa["A"], aa["R"]] == -1
+    assert b[aa["W"], aa["Y"]] == 2
+    assert b[aa["D"], aa["E"]] == 2
+    assert b[aa["I"], aa["L"]] == 2
+    assert b[aa["*"], aa["*"]] == 1
+    assert b[aa["A"], aa["*"]] == -4
+    assert (b == b.T).all()
+
+
+def test_padded_matrix_sentinels():
+    m = scoring.padded_matrix(hard_stop=True)
+    assert m.shape == (32, 32)
+    assert (m[encode.SENTINEL] == scoring.LOW).all()
+    assert (m[:, encode.PAD] == scoring.LOW).all()
+    assert (m[encode.AA_STOP] == scoring.LOW).all()
+    soft = scoring.padded_matrix(hard_stop=False)
+    assert soft[encode.AA_STOP, encode.AA_STOP] == 1
+
+
+def _translate_str(dna: str, frame_len=40):
+    codes = encode.encode_dna(dna)[None, :]
+    out = translate.six_frame_translate(codes, np.array([len(dna)]), frame_len)
+    return [
+        encode.decode_aa(out[0, f]).rstrip(".")  # '.' = PAD
+        for f in range(6)
+    ]
+
+
+def test_translate_known_frames():
+    # ATG GCC TGA -> frame0: M A *
+    frames = _translate_str("ATGGCCTGA")
+    assert frames[0] == "MA*"
+    # frame 1: TGG CCT GA -> W P
+    assert frames[1] == "WP"
+    # frame 2: GGC CTG A -> G L
+    assert frames[2] == "GL"
+    # revcomp of ATGGCCTGA = TCAGGCCAT; frame3: TCA GGC CAT -> S G H
+    assert frames[3] == "SGH"
+    assert frames[4] == "QA"    # CAG GCC (AT)
+    assert frames[5] == "RP"    # AGG CCA T
+
+
+def test_translate_ambiguous_to_x():
+    frames = _translate_str("ATGNNATGA")
+    assert frames[0][1] == "X"
+
+
+def test_translate_batch_lengths():
+    dna = np.zeros((2, 12), dtype=np.int8)
+    out = translate.six_frame_translate(dna, np.array([12, 5]), 10)
+    # read 1 has only 1 codon in frame 0 (len 5 -> 1 codon)
+    assert (out[1, 0, 1:] == encode.PAD).all()
+    assert out[1, 0, 0] == encode.encode_aa("K")[0]  # AAA -> K
+
+
+def test_evalue_monotone():
+    e = evalue.e_value(np.array([30, 60]), np.array([30, 30]), 10**6, 0.267, 0.041)
+    assert e[0] > e[1] > 0
+    b = evalue.bit_score(np.array([60]), 0.267, 0.041)
+    assert 26 < b[0] < 28  # (0.267*60 - ln 0.041)/ln2 ~ 27.7

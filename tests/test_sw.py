@@ -1,0 +1,140 @@
+"""Kernel-vs-oracle equality: XLA scan and Pallas (interpret) banded SW
+must match the scalar oracle EXACTLY, including endpoint tie-breaks
+(SURVEY.md §4.2 "Kernel" row)."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from ghostm_tpu import oracle
+from ghostm_tpu.kernels import sw_pallas, sw_xla
+from ghostm_tpu.ops.encode import SENTINEL
+from ghostm_tpu.ops.scoring import padded_matrix
+
+MAT = padded_matrix()
+GO, GE = 11, 1
+
+
+def _random_case(rng, Lq, B, related=True):
+    q = rng.integers(0, 20, size=Lq).astype(np.int8)
+    wlen = Lq + B
+    w = rng.integers(0, 20, size=wlen).astype(np.int8)
+    if related:
+        # plant a mutated copy of part of q on some diagonal
+        b0 = int(rng.integers(0, B))
+        i0 = int(rng.integers(0, max(1, Lq // 2)))
+        ln = int(rng.integers(3, Lq - i0))
+        seg = q[i0 : i0 + ln].copy()
+        mut = rng.random(ln) < 0.15
+        seg[mut] = rng.integers(0, 20, size=mut.sum())
+        w[i0 + b0 : i0 + b0 + ln] = seg
+    return q, w
+
+
+def _oracle(q, w, B):
+    return oracle.sw_banded(q, w, 0, B, MAT, GO, GE)
+
+
+def _scores(qs, ws, B):
+    return sw_xla.banded_scores(
+        jnp.asarray(np.stack(qs)), jnp.asarray(np.stack(ws)), jnp.asarray(MAT), B
+    )
+
+
+@pytest.mark.parametrize("Lq,B", [(16, 8), (40, 32), (24, 16)])
+def test_xla_matches_oracle(rng, Lq, B):
+    qs, ws, want = [], [], []
+    for t in range(32):
+        q, w = _random_case(rng, Lq, B, related=(t % 2 == 0))
+        qs.append(q)
+        ws.append(w)
+        want.append(_oracle(q, w, B))
+    sc = _scores(qs, ws, B)
+    score, ie, be = sw_xla.sw_banded(sc, GO, GE)
+    got = list(zip(np.asarray(score), np.asarray(ie), np.asarray(be)))
+    assert [tuple(int(v) for v in g) for g in got] == want
+
+
+def test_xla_sentinel_blocks_crossing(rng):
+    # window containing a sentinel run >= B: alignment cannot bridge it
+    Lq, B = 32, 8
+    q = rng.integers(0, 20, size=Lq).astype(np.int8)
+    w = np.concatenate(
+        [q[:12], np.full(B, SENTINEL, np.int8), q[12 : 12 + Lq + B - 12 - B]]
+    ).astype(np.int8)
+    sc = _scores([q], [w], B)
+    score, _, _ = sw_xla.sw_banded(sc, GO, GE)
+    want = _oracle(q, w, B)
+    assert int(score[0]) == want[0]
+
+
+@pytest.mark.parametrize("Lq,B,rtile", [(40, 32, 40), (64, 16, 16), (16, 8, 8)])
+def test_pallas_interpret_matches_oracle(rng, Lq, B, rtile):
+    N = 128  # one lane tile
+    qs, ws, want = [], [], []
+    for t in range(N):
+        q, w = _random_case(rng, Lq, B, related=(t % 3 != 0))
+        qs.append(q)
+        ws.append(w)
+    for q, w in zip(qs[:12], ws[:12]):
+        want.append(_oracle(q, w, B))
+    sc = _scores(qs, ws, B)
+    score, ie, be = sw_pallas.sw_banded_pallas(
+        sc, GO, GE, row_tile=rtile, interpret=True
+    )
+    got = list(zip(np.asarray(score[:12]), np.asarray(ie[:12]), np.asarray(be[:12])))
+    assert [tuple(int(v) for v in g) for g in got] == want
+    # and pallas == xla on the whole batch
+    s2, i2, b2 = sw_xla.sw_banded(sc, GO, GE)
+    np.testing.assert_array_equal(np.asarray(score), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(ie), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(be), np.asarray(b2))
+
+
+def test_moves_traceback_consistency(rng):
+    """Traceback from moves reproduces the score by summing per-column costs."""
+    Lq, B = 24, 16
+    q, w = _random_case(rng, Lq, B)
+    sc = _scores([q], [w], B)
+    score, ie, be, moves = sw_xla.sw_banded_moves(sc, GO, GE)
+    score, ie, be = int(score[0]), int(ie[0]), int(be[0])
+    assert (score, ie, be) == _oracle(q, w, B)
+    if score == 0:
+        return
+    # walk the moves and re-add the path score
+    mv = np.asarray(moves[0])
+    scn = np.asarray(sc[0])
+    i, b, state, total = ie, be, "H", 0
+    for _ in range(4 * (Lq + B)):
+        if state == "H":
+            c = mv[i, b] & 3
+            if c == 0:
+                break
+            if c == 1:
+                total += scn[i, b]
+                i -= 1
+                if i < 0:
+                    break
+            elif c == 2:
+                state = "E"
+            else:
+                state = "F"
+        elif state == "E":
+            opened = (mv[i, b] >> 2) & 1
+            total -= GE
+            b -= 1
+            if opened:
+                total -= GO
+                state = "H"
+        else:
+            opened = (mv[i, b] >> 3) & 1
+            total -= GE
+            i -= 1
+            b += 1
+            if opened:
+                total -= GO
+                state = "H"
+            if i < 0:
+                break
+    assert total == score
