@@ -20,7 +20,11 @@ class Config:
 
     # --- seeding (SURVEY.md §1.1 step 3) ---
     seed_len: int = 3            # k — amino-acid k-mer length of the seed index
-    hits_per_seed: int = 16      # cap on index positions expanded per query seed
+    # Per-k-mer bucket cap, applied GLOBALLY at `db` build time (before
+    # sharding) in (subject id, offset) order — the deterministic overflow
+    # policy that keeps results invariant to shard layout (SURVEY.md §7.2).
+    # Query-time expansion is lossless (index records its max bucket width).
+    hits_per_seed: int = 16
     min_votes: int = 1           # min seed hits on a diagonal bin to be a candidate
     candidates_per_frame: int = 8  # top-N candidate regions kept per query frame
 
@@ -45,12 +49,11 @@ class Config:
 
     # --- index build ---
     shards: int = 1              # DB shards written by `db` mode
-    # Sentinel residues between subjects. MUST be >= band_width: within a
-    # band of width B, advancing the subject by P positions without paying
-    # substitution scores requires a query-gap of length P, which needs the
-    # in-band diagonal offset to grow by P <= B-1; with a sentinel run of
-    # length >= B no alignment can bridge two subjects.
-    sentinel_pad: int = 64
+    # Sentinel residues between subjects (>= seed_len so k-mers never span a
+    # boundary). Alignment containment does NOT rely on this: the engine
+    # masks substitution scores outside the candidate subject's span
+    # (engine.align_shard), so windows overlapping neighbours cannot leak.
+    sentinel_pad: int = 8
 
     # --- distribution (SURVEY.md §2.1) ---
     data_axis: int = 1           # mesh size along "data" (query DP)
@@ -66,8 +69,8 @@ class Config:
             raise ValueError("band_width must be a multiple of 8 (TPU sublane)")
         if self.seed_len < 2 or self.seed_len > 5:
             raise ValueError("seed_len must be in [2, 5]")
-        if self.sentinel_pad < max(self.seed_len, self.band_width):
-            raise ValueError("sentinel_pad must be >= max(seed_len, band_width)")
+        if self.sentinel_pad < self.seed_len:
+            raise ValueError("sentinel_pad must be >= seed_len")
 
     @classmethod
     def from_json(cls, path: str, **overrides) -> "Config":

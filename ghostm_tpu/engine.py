@@ -1,0 +1,447 @@
+"""Search engine: jit-compiled propose/select/align phases + host driver.
+
+Reference equivalent: GHOSTM's `aln` pipeline driver (SURVEY.md §3.2) — load
+index, stream query chunks, launch seed-search and SW kernels, rank. The
+TPU-native shape (SURVEY.md §3.3) is a three-phase step with an exact
+shard-invariance contract (SURVEY.md §7.2 "Determinism across shard counts"):
+
+  1. PROPOSE (per shard): seed lookup -> (subject, local-diagonal-bin) votes
+     -> this shard's top-N candidate proposals per query frame;
+  2. SELECT (global): merge all shards' proposals by the deterministic key
+     (votes desc, subject id asc, bin asc) -> THE global top-N candidate set,
+     identical for any shard layout;
+  3. ALIGN (per shard): banded SW over the selected candidates owned by this
+     shard, with substitution scores masked to the candidate's subject span
+     (so windows overlapping neighbouring subjects can never leak
+     alignments), then a disjoint-mask merge and per-read top-k by
+     (-score, subject id, frame, qend, subject-local end).
+
+On a ("data", "db") mesh all three phases run inside ONE compiled shard_map
+program (ghostm_tpu.parallel.search) with two small collectives; the host
+loop path runs the same phases per shard and merges with numpy. Both produce
+bit-identical tables.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ghostm_tpu.config import Config
+from ghostm_tpu.index.diskio import StackedIndex
+from ghostm_tpu.kernels import candidates as cand_mod
+from ghostm_tpu.kernels import seed_lookup, sw_pallas, sw_xla
+from ghostm_tpu.ops.encode import SENTINEL
+from ghostm_tpu.ops.scoring import LOW, padded_matrix
+from ghostm_tpu.ops.translate import six_frame_translate
+
+NFRAMES = 6
+BIG = 1 << 30
+SORT_NUM_KEYS = 5  # (-score, gsid, frame, qend, s_end) — the tie-break spec
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def lead_pad(cfg: Config) -> int:
+    """Sentinel padding prepended to the buffer so window starts
+    g0 >= -(qlen + band) always slice in-bounds."""
+    return _round_up(cfg.query_frame_len + cfg.band_width, 128)
+
+
+def pad_buffer(buf: np.ndarray, cfg: Config) -> np.ndarray:
+    lead = lead_pad(cfg)
+    tail = lead + 128
+    return np.pad(buf, (lead, tail), constant_values=SENTINEL)
+
+
+# --------------------------------------------------------------------------
+# Phase 1: propose (seed lookup + voting), traceable per-shard function
+# --------------------------------------------------------------------------
+
+def propose_shard(
+    qflat: jnp.ndarray,
+    bucket_starts: jnp.ndarray,
+    positions: jnp.ndarray,
+    starts: jnp.ndarray,
+    subject_ids: jnp.ndarray,
+    *,
+    seed_len: int,
+    expand: int,
+    band: int,
+    ncand: int,
+    min_votes: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(Q, ncand) proposals (gsid, lbin, votes) for this shard."""
+    Lq = qflat.shape[1]
+    qi = qflat.astype(jnp.int32)
+    keys = seed_lookup.query_kmer_keys(qi, seed_len)
+    pos, valid = seed_lookup.lookup_hits(bucket_starts, positions, keys, expand)
+    return cand_mod.propose_candidates.__wrapped__(
+        pos, valid, starts, subject_ids,
+        band // 2, ncand, min_votes, Lq,
+    )
+
+
+# --------------------------------------------------------------------------
+# Phase 3: align (subject-bounded banded SW on selected candidates)
+# --------------------------------------------------------------------------
+
+def align_shard(
+    qflat: jnp.ndarray,        # (Qf, Lq)
+    buffer: jnp.ndarray,       # lead-padded shard buffer
+    starts: jnp.ndarray,
+    subject_ids: jnp.ndarray,
+    lengths: jnp.ndarray,
+    matrix: jnp.ndarray,
+    sel_gsid: jnp.ndarray,     # (Qf, C) global top-N candidates (all shards)
+    sel_lbin: jnp.ndarray,     # (Qf, C)
+    *,
+    band: int,
+    gap_open: int,
+    gap_extend: int,
+    chunk: int,
+    use_pallas: bool,
+    lead: int,
+):
+    """Returns (score, qend, bend, s_end, g0, srow, owned), each (Qf, C);
+    score is 0 (and fields garbage) for candidates not owned by this shard.
+    """
+    Qf, Lq = qflat.shape
+    C = sel_gsid.shape[1]
+    qi = qflat.astype(jnp.int32)
+    S = subject_ids.shape[0]
+    srow = jnp.clip(jnp.searchsorted(subject_ids, sel_gsid), 0, S - 1)
+    owned = (subject_ids[srow] == sel_gsid) & (sel_gsid < BIG)
+    sub_start = starts[srow]
+    sub_len = lengths[srow]
+    half = band // 2
+    g0 = jnp.where(
+        owned, sub_start + sel_lbin * half - Lq - band // 4, 0
+    ).astype(jnp.int32)
+    lo = jnp.where(owned, sub_start, 0).astype(jnp.int32)
+    hi = (lo + jnp.where(owned, sub_len, 0)).astype(jnp.int32)
+
+    N = Qf * C
+    npad = _round_up(N, chunk)
+
+    def padflat(x, fill):
+        f = x.reshape(-1)
+        return jnp.concatenate([f, jnp.full(npad - N, fill, f.dtype)])
+
+    qrep = jnp.repeat(qi, C, axis=0)
+    qrep = jnp.concatenate(
+        [qrep, jnp.full((npad - N, Lq), 25, jnp.int32)], axis=0
+    )
+    g0f, lof, hif = padflat(g0, 0), padflat(lo, 0), padflat(hi, 0)
+    rtile = Lq if Lq <= 256 else 128
+    iota_ib = (
+        jnp.arange(Lq, dtype=jnp.int32)[:, None]
+        + jnp.arange(band, dtype=jnp.int32)[None, :]
+    )
+
+    def chunk_fn(args):
+        qc, g0c, loc, hic = args
+        w = jax.vmap(
+            lambda s: lax.dynamic_slice(buffer, (s + lead,), (Lq + band,))
+        )(g0c)
+        sc = sw_xla.banded_scores(qc, w, matrix, band)
+        j = g0c[:, None, None] + iota_ib[None]
+        inb = (j >= loc[:, None, None]) & (j < hic[:, None, None])
+        sc = jnp.where(inb, sc, LOW)
+        if use_pallas:
+            return sw_pallas.sw_banded_pallas(
+                sc, gap_open, gap_extend, row_tile=rtile
+            )
+        return sw_xla.sw_banded.__wrapped__(sc, gap_open, gap_extend)
+
+    nchunks = npad // chunk
+    s, ie, be = lax.map(
+        chunk_fn,
+        (
+            qrep.reshape(nchunks, chunk, Lq),
+            g0f.reshape(nchunks, chunk),
+            lof.reshape(nchunks, chunk),
+            hif.reshape(nchunks, chunk),
+        ),
+    )
+    score = s.reshape(Qf, C)
+    qend = ie.reshape(Qf, C)
+    bend = be.reshape(Qf, C)
+    score = jnp.where(owned & (score > 0), score, 0)
+    s_end = sel_lbin * half - Lq - band // 4 + qend + bend  # subject-local
+    s_end = jnp.where(score > 0, s_end, 0)
+    qend = jnp.where(score > 0, qend, 0)
+    bend = jnp.where(score > 0, bend, 0)
+    return score, qend, bend, s_end, g0, srow, owned
+
+
+def rank_reads(score, gsid, frame, qend, s_end, bend, g0, srow, shard, topk):
+    """Per-read deterministic top-k over (R, M) fields (device path)."""
+    g = jnp.where(score > 0, gsid, BIG)
+    ops = lax.sort(
+        (-score, g, frame, qend, s_end, bend, g0, srow, shard),
+        num_keys=SORT_NUM_KEYS,
+    )
+    out = tuple(op[:, :topk] for op in ops)
+    return (-out[0],) + out[1:]
+
+
+# --------------------------------------------------------------------------
+# Jitted single-shard convenience wrappers (loop path)
+# --------------------------------------------------------------------------
+
+propose_shard_jit = functools.partial(
+    jax.jit,
+    static_argnames=("seed_len", "expand", "band", "ncand", "min_votes"),
+)(propose_shard)
+
+align_shard_jit = functools.partial(
+    jax.jit,
+    static_argnames=("band", "gap_open", "gap_extend", "chunk", "use_pallas",
+                     "lead"),
+)(align_shard)
+
+
+@dataclasses.dataclass
+class BatchHits:
+    """Merged per-read top-k across shards (host numpy, (R, K) arrays)."""
+    score: np.ndarray
+    gsid: np.ndarray
+    frame: np.ndarray
+    qend: np.ndarray
+    s_end: np.ndarray
+    bend: np.ndarray
+    g0: np.ndarray
+    srow: np.ndarray
+    shard: np.ndarray
+
+
+class SearchEngine:
+    """Host driver: owns device copies of the index and the compiled steps."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        index: StackedIndex,
+        use_pallas: Optional[bool] = None,
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.index = index
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
+        self.lead = lead_pad(cfg)
+        self.matrix = jnp.asarray(padded_matrix(cfg.matrix, hard_stop=True))
+        self.mesh = mesh
+        self.n_shards = index.buffers.shape[0]
+        n_sw = cfg.query_batch * NFRAMES * cfg.candidates_per_frame
+        self.chunk = min(8192, _round_up(n_sw, 128))
+        self.expand = index.expand_width
+        self._propose_static = dict(
+            seed_len=cfg.seed_len,
+            expand=self.expand,
+            band=cfg.band_width,
+            ncand=cfg.candidates_per_frame,
+            min_votes=cfg.min_votes,
+        )
+        self._align_static = dict(
+            band=cfg.band_width,
+            gap_open=cfg.gap_open,
+            gap_extend=cfg.gap_extend,
+            chunk=self.chunk,
+            use_pallas=use_pallas,
+            lead=self.lead,
+        )
+        if mesh is None:
+            self.shard_dev: List[dict] = []
+            for i in range(self.n_shards):
+                self.shard_dev.append(
+                    dict(
+                        buffer=jnp.asarray(pad_buffer(index.buffers[i], cfg)),
+                        bucket_starts=jnp.asarray(index.bucket_starts[i]),
+                        positions=jnp.asarray(index.positions[i]),
+                        starts=jnp.asarray(index.starts[i]),
+                        subject_ids=jnp.asarray(index.subject_ids[i]),
+                        lengths=jnp.asarray(index.lengths[i]),
+                    )
+                )
+        else:
+            from ghostm_tpu.parallel import mesh as pm
+            from ghostm_tpu.parallel.search import make_distributed_step
+
+            n_db = mesh.shape[pm.DB_AXIS]
+            n_data = mesh.shape[pm.DATA_AXIS]
+            if self.n_shards != n_db:
+                raise ValueError(
+                    f"index has {self.n_shards} shards, mesh db axis is {n_db}"
+                )
+            if cfg.query_batch % n_data:
+                raise ValueError("query_batch must divide by mesh data axis")
+            idx_sh = pm.index_sharding(mesh)
+            put = functools.partial(jax.device_put, device=idx_sh)
+            buffers = np.stack(
+                [pad_buffer(index.buffers[i], cfg) for i in range(n_db)]
+            )
+            self.shard_dev = [
+                dict(
+                    buffer=put(buffers),
+                    bucket_starts=put(index.bucket_starts),
+                    positions=put(index.positions),
+                    starts=put(index.starts),
+                    subject_ids=put(index.subject_ids),
+                    lengths=put(index.lengths),
+                )
+            ]
+            self._qsharding = pm.query_sharding(mesh)
+            self.matrix = jax.device_put(
+                np.asarray(self.matrix), pm.replicated(mesh)
+            )
+            self._dist_step = make_distributed_step(
+                mesh, self._propose_static, self._align_static, cfg.max_hits
+            )
+
+    def translate(self, dna: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+        return six_frame_translate(dna, lengths, self.cfg.query_frame_len)
+
+    # ------------------------------------------------------------------
+    def search_batch(self, qcodes: np.ndarray) -> BatchHits:
+        """qcodes: (R, 6, Lq) int8 translated frames. Returns merged top-k."""
+        R = qcodes.shape[0]
+        C = self.cfg.candidates_per_frame
+        K = self.cfg.max_hits
+        qflat_np = qcodes.reshape(R * NFRAMES, self.cfg.query_frame_len)
+        if self.mesh is not None:
+            d = self.shard_dev[0]
+            out = self._dist_step(
+                jax.device_put(qflat_np, self._qsharding),
+                d["buffer"], d["bucket_starts"], d["positions"], d["starts"],
+                d["subject_ids"], d["lengths"], self.matrix,
+            )
+            out = {k: np.asarray(v) for k, v in out.items()}
+            return BatchHits(
+                **{k: out[k] for k in BatchHits.__dataclass_fields__}
+            )
+
+        qflat = jnp.asarray(qflat_np)
+        # Phase 1: proposals from every shard
+        props = []
+        for d in self.shard_dev:
+            g, b, v = propose_shard_jit(
+                qflat, d["bucket_starts"], d["positions"], d["starts"],
+                d["subject_ids"], **self._propose_static,
+            )
+            props.append((np.asarray(g), np.asarray(b), np.asarray(v)))
+        pg = np.concatenate([p[0] for p in props], axis=1)
+        pb = np.concatenate([p[1] for p in props], axis=1)
+        pv = np.concatenate([p[2] for p in props], axis=1)
+        # Phase 2: deterministic global selection (votes desc, gsid, lbin)
+        order = np.lexsort((pb, pg, -pv), axis=1)[:, :C]
+        take = lambda a: np.take_along_axis(a, order, axis=1)
+        sel_g, sel_b, sel_v = take(pg), take(pb), take(pv)
+        sel_g = np.where(sel_v > 0, sel_g, BIG).astype(np.int32)
+        sel_b = np.where(sel_v > 0, sel_b, BIG).astype(np.int32)
+        sel_gj, sel_bj = jnp.asarray(sel_g), jnp.asarray(sel_b)
+        # Phase 3: align on each shard; disjoint-mask merge on host
+        acc = None
+        for si, d in enumerate(self.shard_dev):
+            score, qend, bend, s_end, g0, srow, owned = [
+                np.asarray(x)
+                for x in align_shard_jit(
+                    qflat, d["buffer"], d["starts"], d["subject_ids"],
+                    d["lengths"], self.matrix, sel_gj, sel_bj,
+                    **self._align_static,
+                )
+            ]
+            live = owned & (score > 0)
+            fields = (
+                score,
+                np.where(live, qend, 0),
+                np.where(live, bend, 0),
+                np.where(live, s_end, 0),
+                np.where(live, g0, 0),
+                np.where(live, srow, 0),
+                np.where(live, si, 0),
+            )
+            if acc is None:
+                acc = list(fields)
+            else:
+                acc = [a + f for a, f in zip(acc, fields)]
+        score, qend, bend, s_end, g0, srow, shard = acc
+        # per-read table: (R, 6*C)
+        M = NFRAMES * C
+        rs = lambda a: np.ascontiguousarray(a.reshape(R, M))
+        frame = np.tile(
+            np.repeat(np.arange(NFRAMES, dtype=np.int32), C)[None, :], (R, 1)
+        )
+        gsid = np.where(score > 0, sel_g, BIG).reshape(R, M)
+        score, qend, bend, s_end, g0, srow, shard = map(
+            rs, (score, qend, bend, s_end, g0, srow, shard)
+        )
+        order = np.lexsort(
+            (s_end, qend, frame, gsid, -score), axis=1
+        )[:, :K]
+        take = lambda a: np.take_along_axis(a, order, axis=1)
+        return BatchHits(
+            score=take(score), gsid=take(gsid), frame=take(frame),
+            qend=take(qend), s_end=take(s_end), bend=take(bend),
+            g0=take(g0), srow=take(srow), shard=take(shard),
+        )
+
+    # ------------------------------------------------------------------
+    def refine(self, qcodes: np.ndarray, hits: BatchHits) -> Dict[str, np.ndarray]:
+        """Recompute the banded DP with move recording for reported hits and
+        return alignment stats, all (R, K): qstart/qend (frame-local aa,
+        inclusive), sstart/send (window-local), length, matches, mismatch,
+        gapopen. Invalid hits (score 0) get -1 coords."""
+        from ghostm_tpu.report import traceback_stats
+
+        cfg = self.cfg
+        R, K = hits.score.shape
+        Lq, B = cfg.query_frame_len, cfg.band_width
+        n = R * K
+        flat_read = np.repeat(np.arange(R), K)
+        qc = qcodes[flat_read, hits.frame.reshape(-1)]        # (n, Lq)
+        wlen = Lq + B
+        w = np.full((n, wlen), SENTINEL, dtype=np.int8)
+        lo = np.zeros(n, np.int64)
+        hi = np.zeros(n, np.int64)
+        g0f = hits.g0.reshape(-1).astype(np.int64)
+        srowf = hits.srow.reshape(-1)
+        for si in range(self.n_shards):
+            m = hits.shard.reshape(-1) == si
+            if not m.any():
+                continue
+            buf = pad_buffer(self.index.buffers[si], cfg)
+            starts_w = g0f[m] + self.lead
+            w[m] = buf[starts_w[:, None] + np.arange(wlen)[None, :]]
+            st = self.index.starts[si][srowf[m]]
+            lo[m] = st
+            hi[m] = st + self.index.lengths[si][srowf[m]]
+        sc = np.asarray(
+            sw_xla.banded_scores(
+                jnp.asarray(qc.astype(np.int32)),
+                jnp.asarray(w.astype(np.int32)), self.matrix, B,
+            )
+        )
+        j = g0f[:, None, None] + (
+            np.arange(Lq)[:, None] + np.arange(B)[None, :]
+        )[None]
+        sc = np.where((j >= lo[:, None, None]) & (j < hi[:, None, None]), sc, LOW)
+        s2, ie2, be2, moves = sw_xla.sw_banded_moves(
+            jnp.asarray(sc), cfg.gap_open, cfg.gap_extend
+        )
+        stats = traceback_stats(
+            np.asarray(moves), np.asarray(ie2), np.asarray(be2), qc, w
+        )
+        stats = {k: v.reshape(R, K) for k, v in stats.items()}
+        stats["score_check"] = np.asarray(s2).reshape(R, K)
+        return stats

@@ -35,13 +35,23 @@ class IndexShard:
 
 @dataclasses.dataclass
 class StackedIndex:
-    """Device-ready stacked form: leading axis = shard."""
+    """Device-ready stacked form: leading axis = shard.
+
+    `starts`/`subject_ids` let the DEVICE map an alignment endpoint (a global
+    buffer position) to a global subject id + subject-local offset, which is
+    what makes top-k merge keys shard-invariant (SURVEY.md §7.2)."""
     seed_len: int
     buffers: np.ndarray        # (n_shards, Bmax) int8
     positions: np.ndarray      # (n_shards, Pmax) int32
     bucket_starts: np.ndarray  # (n_shards, 20**k + 2) int32
+    starts: np.ndarray         # (n_shards, Smax) int32, pad = Bmax+1
+    subject_ids: np.ndarray    # (n_shards, Smax) int32, pad = 1<<30 (sorted!)
+    lengths: np.ndarray        # (n_shards, Smax) int32, pad = 0
     shards: List[IndexShard]   # host-side metadata for reporting
     total_residues: int        # whole-DB residue count (E-value search space)
+    expand_width: int          # max seed-bucket length across shards (the
+                               # static per-seed hit expansion that makes
+                               # lookup lossless after build-time truncation)
 
 
 def save_index(prefix: str, shards: List[IndexShard], seed_len: int) -> None:
@@ -105,9 +115,23 @@ def stack_shards(shards: List[IndexShard], seed_len: int) -> StackedIndex:
     positions = np.zeros((n, pmax), dtype=np.int32)
     nb = shards[0].seeds.bucket_starts.shape[0]
     bucket_starts = np.zeros((n, nb), dtype=np.int32)
+    smax = max(s.store.num_subjects for s in shards)
+    starts = np.full((n, smax), bmax + 1, dtype=np.int32)
+    subject_ids = np.full((n, smax), 1 << 30, dtype=np.int32)
+    lengths = np.zeros((n, smax), dtype=np.int32)
     for i, s in enumerate(shards):
         buffers[i, : len(s.store.buffer)] = s.store.buffer
         positions[i, : s.seeds.num_positions] = s.seeds.positions
         bucket_starts[i] = s.seeds.bucket_starts
+        ns = s.store.num_subjects
+        starts[i, :ns] = s.store.starts
+        subject_ids[i, :ns] = s.store.subject_ids
+        lengths[i, :ns] = s.store.lengths
+        if ns and not (np.diff(s.store.subject_ids) > 0).all():
+            raise ValueError("shard subject_ids must be strictly increasing")
     total = sum(s.store.total_residues for s in shards)
-    return StackedIndex(seed_len, buffers, positions, bucket_starts, shards, total)
+    expand = max(1, max(s.seeds.max_bucket_len for s in shards))
+    return StackedIndex(
+        seed_len, buffers, positions, bucket_starts, starts, subject_ids,
+        lengths, shards, total, expand,
+    )

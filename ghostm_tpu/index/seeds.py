@@ -43,6 +43,15 @@ class SeedIndex:
     def num_positions(self) -> int:
         return len(self.positions)
 
+    @property
+    def max_bucket_len(self) -> int:
+        nb = self.num_buckets
+        if not len(self.positions):
+            return 0
+        return int(
+            (self.bucket_starts[1 : nb + 1] - self.bucket_starts[:nb]).max()
+        )
+
 
 def kmer_keys(buf: np.ndarray, k: int) -> np.ndarray:
     """(len(buf) - k + 1,) int32 keys; invalid windows (any code >= 20) get
@@ -61,10 +70,51 @@ def kmer_keys(buf: np.ndarray, k: int) -> np.ndarray:
     return keys.astype(np.int32)
 
 
-def build_seed_index(buf: np.ndarray, k: int) -> SeedIndex:
-    """Sort-free CSR build: bincount keys -> cumsum -> stable scatter."""
+def global_bucket_truncation(
+    seqs: list, k: int, cap: int
+) -> list:
+    """Decide, GLOBALLY and before sharding, which seed positions survive the
+    per-k-mer cap (reference analogue: GHOSTM limits hits for high-frequency
+    seeds). Positions within a bucket are kept in (global subject id, offset)
+    enumeration order, so the surviving set — and therefore every vote count
+    downstream — is identical for ANY shard layout (SURVEY.md §7.2
+    "Determinism across shard counts").
+
+    Args:
+      seqs: encoded subject sequences in GLOBAL id order.
+      cap: max kept positions per k-mer bucket (Config.hits_per_seed).
+    Returns:
+      per-subject bool arrays, len == max(len(seq)-k+1, 0): keep flags.
+    """
+    per_keys = [kmer_keys(s, k) for s in seqs]
+    if not per_keys:
+        return []
+    all_keys = np.concatenate(per_keys) if per_keys else np.zeros(0, np.int32)
+    nb = NUM_SEED_AA**k
+    order = np.argsort(all_keys, kind="stable")
+    sorted_keys = all_keys[order]
+    bucket_starts = np.searchsorted(sorted_keys, np.arange(nb + 1))
+    rank = np.empty(len(all_keys), dtype=np.int64)
+    rank[order] = np.arange(len(all_keys)) - bucket_starts[
+        np.clip(sorted_keys, 0, nb)
+    ]
+    keep = (rank < cap) & (all_keys < nb)
+    out, off = [], 0
+    for pk in per_keys:
+        out.append(keep[off : off + len(pk)])
+        off += len(pk)
+    return out
+
+
+def build_seed_index(buf: np.ndarray, k: int, keep: np.ndarray | None = None) -> SeedIndex:
+    """Sort-free CSR build: bincount keys -> cumsum -> stable scatter.
+
+    `keep`: optional bool mask over buffer positions (len >= len(buf)-k+1)
+    from global_bucket_truncation, mapped into shard-buffer coordinates."""
     keys = kmer_keys(buf, k)
     valid = keys < NUM_SEED_AA**k
+    if keep is not None:
+        valid &= keep[: len(keys)]
     vkeys = keys[valid]
     vpos = np.nonzero(valid)[0].astype(np.int32)
     counts = np.bincount(vkeys, minlength=NUM_SEED_AA**k)

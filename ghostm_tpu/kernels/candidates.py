@@ -1,14 +1,18 @@
-"""Diagonal voting + candidate selection (SURVEY.md §2 "Diagonal voting").
+"""Diagonal voting + candidate proposal (SURVEY.md §2 "Diagonal voting").
 
 Reference equivalent: GHOSTM accumulates seed hits per (subject, diagonal)
-cell and keeps the top-N regions per query. TPU-native re-design: because the
-subject store is ONE concatenated buffer, (subject, diagonal) collapses to
-the single global diagonal g = dbpos - qpos. Diagonals are coarsened into
-bins of band_width/2 so one candidate band covers all hits in a bin, votes
-are counted by a sort + run-length pass (static shapes, no scatter), and the
-top-N bins are selected by a multi-key lax.sort — fully deterministic:
-(votes desc, bin asc), which makes results invariant to shard count and
-evaluation order (SURVEY.md §7.2 "Determinism across shard counts").
+cell and keeps the top-N regions per query. TPU-native re-design with a
+shard-invariance contract (SURVEY.md §7.2):
+
+  * every hit is keyed by (GLOBAL subject id, SUBJECT-LOCAL diagonal bin) —
+    values independent of how subjects are packed into shard buffers;
+  * votes are counted scatter-free: a two-key lax.sort groups equal pairs,
+    run lengths come from a cummax/cummin neighbour pass (static shapes);
+  * each shard only PROPOSES its top-N candidates, ordered by the
+    deterministic key (votes desc, gsid asc, bin asc); the engine selects
+    the global top-N across shards (all_gather on the mesh, host concat in
+    the loop path) so the SW candidate set — and hence the output table —
+    is identical for any shard count.
 """
 
 from __future__ import annotations
@@ -20,58 +24,69 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-BIGBIN = jnp.int32(1 << 30)
+BIG = jnp.int32(1 << 30)
 
 
-def _per_query(bins_flat: jnp.ndarray, ncand: int, min_votes: int):
-    """bins_flat: (M,) int32 diagonal bins (invalid = BIGBIN).
-    Returns (bin (ncand,), votes (ncand,)) sorted by (votes desc, bin asc)."""
-    M = bins_flat.shape[0]
-    b = jnp.sort(bins_flat)
-    valid = b < BIGBIN
-    first = jnp.concatenate([valid[:1], (b[1:] != b[:-1]) & valid[1:]])
-    rid = jnp.cumsum(first.astype(jnp.int32)) - 1
-    ones = valid.astype(jnp.int32)
-    counts = jax.ops.segment_sum(ones, rid, num_segments=M)
-    votes = jnp.where(first, counts[jnp.clip(rid, 0, M - 1)], 0)
+def _per_query(gsid: jnp.ndarray, lbin: jnp.ndarray, ncand: int, min_votes: int):
+    """gsid/lbin: (M,) int32 hit keys (invalid = BIG). Returns per-query
+    proposals (gsid (ncand,), lbin (ncand,), votes (ncand,)) ordered by
+    (votes desc, gsid asc, lbin asc)."""
+    M = gsid.shape[0]
+    g, b = lax.sort((gsid, lbin), num_keys=2)
+    valid = g < BIG
+    first = jnp.concatenate(
+        [valid[:1], ((g[1:] != g[:-1]) | (b[1:] != b[:-1])) & valid[1:]]
+    )
+    idx = jnp.arange(M, dtype=jnp.int32)
+    # Index of the next run boundary for each position. Invalid (padding)
+    # positions must also act as boundaries, otherwise the run length of the
+    # LAST valid run would swallow the whole invalid tail.
+    bnd = first | ~valid
+    s_next = jnp.concatenate([jnp.where(bnd, idx, BIG)[1:], jnp.int32([M])])
+    next_start = lax.cummin(s_next, axis=0, reverse=True)
+    votes = jnp.where(first, next_start - idx, 0)
     votes = jnp.where(votes >= min_votes, votes, 0)
-    cbin = jnp.where(votes > 0, b, BIGBIN)
-    neg, sbin = lax.sort((-votes, cbin), num_keys=2)
-    return sbin[:ncand], -neg[:ncand]
+    cg = jnp.where(votes > 0, g, BIG)
+    cb = jnp.where(votes > 0, b, BIG)
+    nv, sg, sb = lax.sort((-votes, cg, cb), num_keys=3)
+    return sg[:ncand], sb[:ncand], -nv[:ncand]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("band", "ncand", "min_votes", "qlen")
-)
-def select_candidates(
-    hit_pos: jnp.ndarray,
-    hit_valid: jnp.ndarray,
-    band: int,
+@functools.partial(jax.jit, static_argnames=("half", "ncand", "min_votes", "qlen"))
+def propose_candidates(
+    hit_pos: jnp.ndarray,     # (Q, Lq, H) int32 shard-buffer positions
+    hit_valid: jnp.ndarray,   # (Q, Lq, H) bool
+    starts: jnp.ndarray,      # (S,) int32 subject starts (sorted, pad big)
+    subject_ids: jnp.ndarray, # (S,) int32 global ids (sorted, pad BIG)
+    half: int,                # band_width // 2 (diagonal bin size)
     ncand: int,
     min_votes: int,
     qlen: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Vote diagonals, pick top-N bands per query.
-
-    Args:
-      hit_pos: (Q, Lq, H) int32 global DB positions per query seed.
-      hit_valid: (Q, Lq, H) bool.
-    Returns:
-      g0    (Q, ncand) int32 — band window start (may be negative; the
-            engine adds its buffer lead-padding before slicing),
-      votes (Q, ncand) int32,
-      valid (Q, ncand) bool.
-    """
+    """Vote (subject, local-diagonal-bin) cells; return this shard's top-N
+    proposals per query frame: (gsid, lbin, votes), each (Q, ncand) int32."""
     Q, Lq, H = hit_pos.shape
-    half = band // 2
+    S = starts.shape[0]
+    srow = jnp.clip(
+        jnp.searchsorted(starts, hit_pos, side="right") - 1, 0, S - 1
+    )
+    gsid = jnp.where(hit_valid, subject_ids[srow], BIG)
     qpos = jnp.arange(Lq, dtype=jnp.int32)[None, :, None]
-    g = hit_pos - qpos                       # global diagonal, >= -(Lq-1)
-    bins = jnp.where(hit_valid, (g + qlen) // half, BIGBIN)
-    sbin, votes = jax.vmap(
-        functools.partial(_per_query, ncand=ncand, min_votes=max(min_votes, 1))
-    )(bins.reshape(Q, Lq * H))
-    valid = votes > 0
-    # Band [g0, g0+band) centred on the bin's diagonal range:
-    # bin covers g in [bin*half - qlen, bin*half - qlen + half).
-    g0 = jnp.where(valid, sbin * half - qlen - band // 4, 0)
-    return g0, votes, valid
+    # subject-local diagonal, >= -(qlen-1); bin is >= 0 after the +qlen shift
+    ldiag = hit_pos - starts[srow] - qpos
+    lbin = jnp.where(hit_valid, (ldiag + qlen) // half, BIG)
+    fn = functools.partial(_per_query, ncand=ncand, min_votes=max(min_votes, 1))
+    return jax.vmap(fn)(gsid.reshape(Q, Lq * H), lbin.reshape(Q, Lq * H))
+
+
+def select_global(
+    gsid: jnp.ndarray, lbin: jnp.ndarray, votes: jnp.ndarray, ncand: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Merge proposals from all shards, (Q, n_shards * ncand) each, into the
+    global top-N by the same deterministic key. Any candidate in the global
+    top-N is in its own shard's top-N, so per-shard proposal followed by this
+    merge is EXACTLY the single-index selection."""
+    g = jnp.where(votes > 0, gsid, BIG)
+    b = jnp.where(votes > 0, lbin, BIG)
+    nv, sg, sb = lax.sort((-votes, g, b), num_keys=3)
+    return sg[:, :ncand], sb[:, :ncand], -nv[:, :ncand]

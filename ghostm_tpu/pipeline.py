@@ -1,0 +1,116 @@
+"""Batch streaming loop with checkpoint/resume (SURVEY.md §5.3/§5.4).
+
+The only mutable state of a search run is (input cursor, emitted rows) — the
+index is immutable — so fault tolerance is per-batch result parts plus a
+cursor manifest: results are written to `<out>.parts/part-{i}.tsv` with
+`<out>.parts/cursor.json` recording completed batches; `--resume` skips
+completed parts and re-runs the first incomplete one. Without checkpointing,
+rows stream straight into the output file.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Iterable, Optional
+
+import numpy as np
+
+from ghostm_tpu.report import M8_HEADER, write_hits
+from ghostm_tpu.utils.metrics import BatchMetrics, MetricsLog
+
+log = logging.getLogger("ghostm_tpu.pipeline")
+
+NFRAMES = 6
+
+
+def _subject_names(index) -> dict:
+    names = {}
+    for sh in index.shards:
+        for row, gid in enumerate(sh.store.subject_ids):
+            names[int(gid)] = sh.store.names[row]
+    return names
+
+
+def run_search(
+    engine,
+    batches: Iterable,
+    output: str,
+    resume: bool = False,
+) -> int:
+    cfg = engine.cfg
+    snames = _subject_names(engine.index)
+    metrics = MetricsLog()
+    checkpointing = cfg.checkpoint_batches > 0
+    parts_dir = output + ".parts"
+    cursor_path = os.path.join(parts_dir, "cursor.json")
+    done = 0
+    if checkpointing:
+        os.makedirs(parts_dir, exist_ok=True)
+        if resume and os.path.exists(cursor_path):
+            with open(cursor_path) as f:
+                done = json.load(f)["completed_batches"]
+            log.info("resuming after %d completed batches", done)
+
+    total_rows = 0
+    profile_cm = None
+    if cfg.profile_dir:
+        import jax
+
+        profile_cm = jax.profiler.trace(cfg.profile_dir)
+        profile_cm.__enter__()
+    try:
+        out_f = None if checkpointing else open(output, "w")
+        if out_f:
+            out_f.write(M8_HEADER + "\n")
+        for bi, (names, dna, lens) in enumerate(batches):
+            if checkpointing and bi < done:
+                continue
+            t0 = time.time()
+            qcodes = engine.translate(dna, lens)
+            hits = engine.search_batch(qcodes)
+            stats = engine.refine(qcodes, hits)
+            nreads = len(names)
+            if checkpointing:
+                part = os.path.join(parts_dir, f"part-{bi:06d}.tsv")
+                with open(part + ".tmp", "w") as f:
+                    rows = write_hits(
+                        f, cfg, names, lens, snames, hits, stats,
+                        engine.index.total_residues,
+                    )
+                os.replace(part + ".tmp", part)
+                with open(cursor_path, "w") as f:
+                    json.dump({"completed_batches": bi + 1}, f)
+            else:
+                rows = write_hits(
+                    out_f, cfg, names, lens, snames, hits, stats,
+                    engine.index.total_residues,
+                )
+            wall = time.time() - t0
+            n_aln = qcodes.shape[0] * NFRAMES * cfg.candidates_per_frame
+            cells = n_aln * cfg.query_frame_len * cfg.band_width
+            m = BatchMetrics(nreads, wall, cells * engine.n_shards, rows)
+            metrics.add(m)
+            log.info(
+                "batch %d: %d reads, %d rows, %.2fs (%.0f reads/s, %.2f GCUPS)",
+                bi, nreads, rows, wall, m.reads_per_s, m.gcups,
+                extra={"metrics": vars(m)},
+            )
+            total_rows += rows
+        if checkpointing:
+            # concatenate parts into the final output
+            with open(output, "w") as f:
+                f.write(M8_HEADER + "\n")
+                for p in sorted(os.listdir(parts_dir)):
+                    if p.startswith("part-") and p.endswith(".tsv"):
+                        with open(os.path.join(parts_dir, p)) as pf:
+                            f.write(pf.read())
+        elif out_f:
+            out_f.close()
+    finally:
+        if profile_cm:
+            profile_cm.__exit__(None, None, None)
+    log.info("search done: %s", metrics.dumps())
+    return total_rows
