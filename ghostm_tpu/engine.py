@@ -172,9 +172,9 @@ def align_shard(
             hif.reshape(nchunks, chunk),
         ),
     )
-    score = s.reshape(Qf, C)
-    qend = ie.reshape(Qf, C)
-    bend = be.reshape(Qf, C)
+    score = s.reshape(-1)[:N].reshape(Qf, C)
+    qend = ie.reshape(-1)[:N].reshape(Qf, C)
+    bend = be.reshape(-1)[:N].reshape(Qf, C)
     score = jnp.where(owned & (score > 0), score, 0)
     s_end = sel_lbin * half - Lq - band // 4 + qend + bend  # subject-local
     s_end = jnp.where(score > 0, s_end, 0)

@@ -24,7 +24,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from ghostm_tpu.engine import (
@@ -102,7 +102,7 @@ def make_distributed_step(mesh, propose_static: dict, align_static: dict,
         in_specs=(P(DATA_AXIS), specs_idx, specs_idx, specs_idx, specs_idx,
                   specs_idx, specs_idx, P()),
         out_specs=tuple([P(DATA_AXIS)] * 9),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit

@@ -1,0 +1,91 @@
+"""Mesh (shard_map + collectives) vs loop-path equivalence on the faked
+8-device CPU mesh (SURVEY.md §4.2 "Distributed")."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from ghostm_tpu.config import Config
+from ghostm_tpu.engine import SearchEngine
+from ghostm_tpu.index import diskio, seeds, store
+from ghostm_tpu.ops.encode import encode_aa
+from ghostm_tpu.parallel.mesh import make_mesh
+from tools.simulate import make_dataset, random_proteins, reads_from_proteins
+from ghostm_tpu.ops.encode import encode_dna
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(3)
+    prots = random_proteins(rng, 40, lo=60, hi=150)
+    records = [(f"s{i}", p.encode()) for i, p in enumerate(prots)]
+    cfg = Config(query_batch=16, max_hits=5)
+    names, reads = reads_from_proteins(rng, prots, 16, read_len=90)
+    dna = np.full((16, 90), 4, np.int8)
+    lens = np.zeros(16, np.int32)
+    for i, r in enumerate(reads):
+        c = encode_dna(r)
+        dna[i, : len(c)] = c
+        lens[i] = len(c)
+    return cfg, records, dna, lens
+
+
+def _build(records, cfg, n_shards):
+    keep = seeds.global_bucket_truncation(
+        [encode_aa(s) for _, s in records], cfg.seed_len, cfg.hits_per_seed
+    )
+    assign = store.shard_records(records, n_shards)
+    shards = []
+    for ids in assign:
+        st = store.build_store(
+            [records[i] for i in ids], cfg.sentinel_pad, subject_ids=ids
+        )
+        kb = np.zeros(len(st.buffer), dtype=bool)
+        for r, gi in enumerate(ids):
+            kb[st.starts[r] : st.starts[r] + len(keep[gi])] = keep[gi]
+        shards.append(
+            diskio.IndexShard(
+                st, seeds.build_seed_index(st.buffer, cfg.seed_len, kb)
+            )
+        )
+    return diskio.stack_shards(shards, cfg.seed_len)
+
+
+def _hits_tuple(h):
+    return tuple(
+        np.asarray(getattr(h, f)).tolist()
+        for f in ("score", "gsid", "frame", "qend", "s_end")
+    )
+
+
+@pytest.mark.parametrize("data,db", [(4, 2), (2, 2), (8, 1)])
+def test_mesh_equals_loop(setup, data, db):
+    cfg, records, dna, lens = setup
+    assert len(jax.devices()) >= data * db
+    index = _build(records, cfg, db)
+    loop_eng = SearchEngine(cfg, index, use_pallas=False)
+    qc = loop_eng.translate(dna, lens)
+    want = loop_eng.search_batch(qc)
+
+    mesh = make_mesh(data, db)
+    mesh_eng = SearchEngine(cfg, index, use_pallas=False, mesh=mesh)
+    got = mesh_eng.search_batch(qc)
+    assert _hits_tuple(got) == _hits_tuple(want)
+    # refinement produces the same alignment stats through either path
+    sw = loop_eng.refine(qc, want)
+    sg = mesh_eng.refine(qc, got)
+    for k in ("qstart", "sstart", "length", "matches"):
+        np.testing.assert_array_equal(sw[k], sg[k])
+
+
+def test_mesh_matches_different_shardings(setup):
+    """4x2 mesh over a 2-shard index == 8x1 mesh over a 1-shard index."""
+    cfg, records, dna, lens = setup
+    i1 = _build(records, cfg, 1)
+    i2 = _build(records, cfg, 2)
+    e1 = SearchEngine(cfg, i1, use_pallas=False, mesh=make_mesh(8, 1))
+    e2 = SearchEngine(cfg, i2, use_pallas=False, mesh=make_mesh(4, 2))
+    qc = e1.translate(dna, lens)
+    h1, h2 = e1.search_batch(qc), e2.search_batch(qc)
+    assert _hits_tuple(h1) == _hits_tuple(h2)
