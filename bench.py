@@ -1,0 +1,128 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Primary metric: SW kernel GCUPS (giga cell-updates/s) on the real chip —
+the field-standard metric and the BASELINE.json target ("SW cell-updates/s
+within 1.5x of per-chip roofline"). Secondary fields in the same JSON object:
+end-to-end reads/s on a synthetic config-2-style workload (BASELINE.json:8),
+plus the roofline accounting.
+
+Roofline methodology (BASELINE.md "Measurement protocol"): TPU v5e VPU
+executes 8x128-lane int32 ops at ~0.94 GHz across 4 ALUs ~= 3.85e12 int
+ops/s. The row-scan kernel executes ~30 vector ops per DP cell (counted from
+the kernel body: shift/max/add recurrence + log2(B) prefix-scan + best
+tracking), giving ROOFLINE_GCUPS ~= 128. vs_baseline = measured / roofline;
+the BASELINE target (within 1.5x of roofline) is vs_baseline >= 0.67.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+VPU_INT_OPS = 3.85e12      # v5e: 8*128 lanes * 4 ALUs * 0.94 GHz
+OPS_PER_CELL = 30          # counted from kernels/sw_pallas.py row body
+ROOFLINE_GCUPS = VPU_INT_OPS / OPS_PER_CELL / 1e9
+
+
+def bench_kernel(reps: int = 10):
+    import jax
+    import jax.numpy as jnp
+
+    from ghostm_tpu.kernels import sw_pallas
+
+    rng = np.random.default_rng(0)
+    N, Lq, B = 131072, 40, 32
+    sc = jnp.asarray(rng.integers(-4, 12, (N, Lq, B)).astype(np.int32))
+    use_pallas = jax.default_backend() == "tpu"
+    f = lambda: sw_pallas.sw_banded_pallas(sc, 11, 1, row_tile=40)[0] \
+        if use_pallas else None
+    if not use_pallas:
+        from ghostm_tpu.kernels import sw_xla
+
+        f = lambda: sw_xla.sw_banded(sc, 11, 1)[0]
+    f().block_until_ready()
+    t = time.time()
+    for _ in range(reps):
+        r = f()
+    r.block_until_ready()
+    dt = (time.time() - t) / reps
+    return N * Lq * B / dt / 1e9
+
+
+def bench_end_to_end():
+    import jax
+
+    from ghostm_tpu.config import Config
+    from ghostm_tpu.engine import SearchEngine
+    from ghostm_tpu.index import diskio, seeds, store
+    from ghostm_tpu.ops.encode import encode_aa, encode_dna
+    from tools.simulate import random_proteins, reads_from_proteins
+
+    rng = np.random.default_rng(1)
+    cfg = Config(query_batch=4096)
+    prots = random_proteins(rng, 2000, lo=150, hi=450)
+    records = [(f"s{i}", p.encode()) for i, p in enumerate(prots)]
+    keep = seeds.global_bucket_truncation(
+        [encode_aa(s) for _, s in records], cfg.seed_len, cfg.hits_per_seed
+    )
+    assign = store.shard_records(records, 1)
+    shards = []
+    for ids in assign:
+        st = store.build_store(
+            [records[i] for i in ids], cfg.sentinel_pad, subject_ids=ids
+        )
+        kb = np.zeros(len(st.buffer), dtype=bool)
+        for r, gi in enumerate(ids):
+            kb[st.starts[r] : st.starts[r] + len(keep[gi])] = keep[gi]
+        shards.append(
+            diskio.IndexShard(
+                st, seeds.build_seed_index(st.buffer, cfg.seed_len, kb)
+            )
+        )
+    index = diskio.stack_shards(shards, cfg.seed_len)
+    eng = SearchEngine(cfg, index)
+
+    R = cfg.query_batch
+    names, reads = reads_from_proteins(rng, prots, R, read_len=100)
+    dna = np.full((R, 100), 4, np.int8)
+    lens = np.zeros(R, np.int32)
+    for i, rd in enumerate(reads):
+        c = encode_dna(rd)
+        dna[i, : len(c)] = c
+        lens[i] = len(c)
+    qc = eng.translate(dna, lens)
+    hits = eng.search_batch(qc)           # warmup (compile)
+    t = time.time()
+    reps = 3
+    for _ in range(reps):
+        qc = eng.translate(dna, lens)
+        hits = eng.search_batch(qc)
+    dt = (time.time() - t) / reps
+    n_aln = R * 6 * cfg.candidates_per_frame
+    cells = n_aln * cfg.query_frame_len * cfg.band_width
+    return R / dt, cells / dt / 1e9, int(hits.score.max())
+
+
+def main():
+    t0 = time.time()
+    gcups = bench_kernel()
+    reads_per_s, e2e_gcups, max_score = bench_end_to_end()
+    out = {
+        "metric": "sw_gcups",
+        "value": round(gcups, 2),
+        "unit": "GCUPS",
+        "vs_baseline": round(gcups / ROOFLINE_GCUPS, 4),
+        "roofline_gcups": round(ROOFLINE_GCUPS, 1),
+        "reads_per_s": round(reads_per_s, 1),
+        "e2e_sw_gcups": round(e2e_gcups, 2),
+        "bench_wall_s": round(time.time() - t0, 1),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sys.exit(main())

@@ -110,7 +110,18 @@ def build_seed_index(buf: np.ndarray, k: int, keep: np.ndarray | None = None) ->
     """Sort-free CSR build: bincount keys -> cumsum -> stable scatter.
 
     `keep`: optional bool mask over buffer positions (len >= len(buf)-k+1)
-    from global_bucket_truncation, mapped into shard-buffer coordinates."""
+    from global_bucket_truncation, mapped into shard-buffer coordinates.
+
+    Uses the native C++ builder (ghostm_tpu.native, counting sort) when the
+    shared library is available; the numpy path below is the reference
+    implementation and produces bit-identical output (tests/test_native.py).
+    """
+    from ghostm_tpu import native
+
+    res = native.kmer_csr(buf, k, keep)
+    if res is not None:
+        positions, bucket_starts = res
+        return SeedIndex(k, positions, bucket_starts)
     keys = kmer_keys(buf, k)
     valid = keys < NUM_SEED_AA**k
     if keep is not None:

@@ -38,6 +38,10 @@ from ghostm_tpu.kernels.sw_xla import _finalize
 
 NEG = -(1 << 30)
 LANES = 128
+# Lane-block width: alignments processed per kernel instance. Multiples of
+# 128 lanes amortise loop and instruction-issue overhead over more data per
+# vector op (the DP itself is element-wise along lanes).
+DEFAULT_WIDTH = 1024
 
 
 def _shift_down(x, d, b_iota):
@@ -51,9 +55,9 @@ def _shift_up1(x, b_iota, B):
 
 
 def _sw_kernel(
-    sc_ref,  # (1, RTILE, B, LANES) int32 scores block
-    bestH_ref,  # (1, B, LANES) int32
-    bestI_ref,  # (1, B, LANES) int32
+    sc_ref,  # (1, RTILE, B, W) int32 scores block
+    bestH_ref,  # (1, B, W) int32
+    bestI_ref,  # (1, B, W) int32
     H_scr,
     F_scr,
     bH_scr,
@@ -64,25 +68,28 @@ def _sw_kernel(
     go1: int,
     ge: int,
     n_row_tiles: int,
+    width: int,
 ):
     B = band
+    W = width
     rt = pl.program_id(1)
-    b_iota = jax.lax.broadcasted_iota(jnp.int32, (B, LANES), 0)
+    b_iota = jax.lax.broadcasted_iota(jnp.int32, (B, W), 0)
     bext = b_iota * ge
     cvec = go1 + (b_iota - 1) * ge
 
     @pl.when(rt == 0)
     def _():
-        H_scr[:] = jnp.zeros((B, LANES), jnp.int32)
-        F_scr[:] = jnp.full((B, LANES), NEG, jnp.int32)
-        bH_scr[:] = jnp.zeros((B, LANES), jnp.int32)
-        bI_scr[:] = jnp.zeros((B, LANES), jnp.int32)
+        H_scr[:] = jnp.zeros((B, W), jnp.int32)
+        F_scr[:] = jnp.full((B, W), NEG, jnp.int32)
+        bH_scr[:] = jnp.zeros((B, W), jnp.int32)
+        bI_scr[:] = jnp.zeros((B, W), jnp.int32)
 
     def row(r, carry):
         H, F, bH, bI = carry
         s = sc_ref[0, r]
-        Fn = jnp.maximum(_shift_up1(H, b_iota, B) - go1,
-                         _shift_up1(F, b_iota, B) - ge)
+        # F[b] = max(H[b+1] - go1, F[b+1] - ge): fuse into ONE shift of the
+        # pre-maxed operand (shift is linear, max args share the shift).
+        Fn = _shift_up1(jnp.maximum(H - go1, F - ge), b_iota, B)
         Ht = jnp.maximum(jnp.maximum(H + s, Fn), 0)
         # Exclusive max-prefix-scan of T over the band axis (Hillis-Steele).
         X = _shift_down(Ht + bext, 1, b_iota)
@@ -134,10 +141,15 @@ def sw_banded_pallas(
     rtile = min(row_tile, Lq)
     if Lq % rtile:
         raise ValueError(f"Lq={Lq} must be a multiple of row_tile={rtile}")
-    G = N // LANES
+    W = LANES
+    while W * 2 <= DEFAULT_WIDTH and N % (W * 2) == 0 and (
+        rtile * B * W * 2 * 4 <= 6 * 1024 * 1024
+    ):
+        W *= 2
+    G = N // W
     RT = Lq // rtile
-    # (N, Lq, B) -> (G, Lq, B, LANES): alignments ride lanes.
-    sct = jnp.moveaxis(sc.reshape(G, LANES, Lq, B), 1, -1)
+    # (N, Lq, B) -> (G, Lq, B, W): alignments ride lanes.
+    sct = jnp.moveaxis(sc.reshape(G, W, Lq, B), 1, -1)
     kernel = functools.partial(
         _sw_kernel,
         rtile=rtile,
@@ -145,32 +157,33 @@ def sw_banded_pallas(
         go1=gap_open + gap_extend,
         ge=gap_extend,
         n_row_tiles=RT,
+        width=W,
     )
     bestH, bestI = pl.pallas_call(
         kernel,
         grid=(G, RT),
         in_specs=[
             pl.BlockSpec(
-                (1, rtile, B, LANES),
+                (1, rtile, B, W),
                 lambda g, rt: (g, rt, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         ],
         out_specs=[
-            pl.BlockSpec((1, B, LANES), lambda g, rt: (g, 0, 0),
+            pl.BlockSpec((1, B, W), lambda g, rt: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, LANES), lambda g, rt: (g, 0, 0),
+            pl.BlockSpec((1, B, W), lambda g, rt: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((G, B, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((G, B, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((G, B, W), jnp.int32),
+            jax.ShapeDtypeStruct((G, B, W), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((B, LANES), jnp.int32),
-            pltpu.VMEM((B, LANES), jnp.int32),
-            pltpu.VMEM((B, LANES), jnp.int32),
-            pltpu.VMEM((B, LANES), jnp.int32),
+            pltpu.VMEM((B, W), jnp.int32),
+            pltpu.VMEM((B, W), jnp.int32),
+            pltpu.VMEM((B, W), jnp.int32),
+            pltpu.VMEM((B, W), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -180,7 +193,7 @@ def sw_banded_pallas(
         ),
         interpret=interpret,
     )(sct)
-    # (G, B, LANES) -> (N, B)
+    # (G, B, W) -> (N, B)
     bestH = jnp.moveaxis(bestH, -1, 1).reshape(N, B)
     bestI = jnp.moveaxis(bestI, -1, 1).reshape(N, B)
     return _finalize(bestH, bestI, B)
