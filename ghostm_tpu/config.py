@@ -27,6 +27,11 @@ class Config:
     hits_per_seed: int = 16
     min_votes: int = 1           # min seed hits on a diagonal bin to be a candidate
     candidates_per_frame: int = 8  # top-N candidate regions kept per query frame
+    # Long-read chaining approximation (SURVEY.md §5.7): also credit each
+    # diagonal bin with its +-1 neighbours' votes before ranking, so seed
+    # hits drifting across bins (indels over kbp-scale queries) still
+    # concentrate on one candidate band. Off by default for short reads.
+    smooth_bins: bool = False
 
     # --- alignment (SURVEY.md §1.1 step 4) ---
     band_width: int = 32         # banded SW band (diagonal span), multiple of 8

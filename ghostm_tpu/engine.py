@@ -78,6 +78,7 @@ def propose_shard(
     band: int,
     ncand: int,
     min_votes: int,
+    smooth: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(Q, ncand) proposals (gsid, lbin, votes) for this shard."""
     Lq = qflat.shape[1]
@@ -86,7 +87,7 @@ def propose_shard(
     pos, valid = seed_lookup.lookup_hits(bucket_starts, positions, keys, expand)
     return cand_mod.propose_candidates.__wrapped__(
         pos, valid, starts, subject_ids,
-        band // 2, ncand, min_votes, Lq,
+        band // 2, ncand, min_votes, Lq, smooth,
     )
 
 
@@ -141,7 +142,11 @@ def align_shard(
         [qrep, jnp.full((npad - N, Lq), 25, jnp.int32)], axis=0
     )
     g0f, lof, hif = padflat(g0, 0), padflat(lo, 0), padflat(hi, 0)
+    # Row tiling: pad Lq up to a multiple of the kernel row tile (padded
+    # rows get LOW scores — they decay every DP value strictly, so they can
+    # never change the best cell or its tie-break).
     rtile = Lq if Lq <= 256 else 128
+    lq_pad = _round_up(Lq, rtile) - Lq
     iota_ib = (
         jnp.arange(Lq, dtype=jnp.int32)[:, None]
         + jnp.arange(band, dtype=jnp.int32)[None, :]
@@ -156,6 +161,10 @@ def align_shard(
         j = g0c[:, None, None] + iota_ib[None]
         inb = (j >= loc[:, None, None]) & (j < hic[:, None, None])
         sc = jnp.where(inb, sc, LOW)
+        if lq_pad:
+            sc = jnp.pad(
+                sc, ((0, 0), (0, lq_pad), (0, 0)), constant_values=LOW
+            )
         if use_pallas:
             return sw_pallas.sw_banded_pallas(
                 sc, gap_open, gap_extend, row_tile=rtile
@@ -200,7 +209,8 @@ def rank_reads(score, gsid, frame, qend, s_end, bend, g0, srow, shard, topk):
 
 propose_shard_jit = functools.partial(
     jax.jit,
-    static_argnames=("seed_len", "expand", "band", "ncand", "min_votes"),
+    static_argnames=("seed_len", "expand", "band", "ncand", "min_votes",
+                     "smooth"),
 )(propose_shard)
 
 align_shard_jit = functools.partial(
@@ -244,7 +254,10 @@ class SearchEngine:
         self.mesh = mesh
         self.n_shards = index.buffers.shape[0]
         n_sw = cfg.query_batch * NFRAMES * cfg.candidates_per_frame
-        self.chunk = min(8192, _round_up(n_sw, 128))
+        # SW chunk: bound the in-flight int32 score tensor (~128 MB) so
+        # long-read configs (large Lq * band) do not blow HBM.
+        mem_cap = max(128, (128 << 20) // (cfg.query_frame_len * cfg.band_width * 4))
+        self.chunk = max(128, min(8192, _round_up(n_sw, 128), mem_cap // 128 * 128))
         self.expand = index.expand_width
         self._propose_static = dict(
             seed_len=cfg.seed_len,
@@ -252,6 +265,7 @@ class SearchEngine:
             band=cfg.band_width,
             ncand=cfg.candidates_per_frame,
             min_votes=cfg.min_votes,
+            smooth=cfg.smooth_bins,
         )
         self._align_static = dict(
             band=cfg.band_width,

@@ -27,10 +27,18 @@ from jax import lax
 BIG = jnp.int32(1 << 30)
 
 
-def _per_query(gsid: jnp.ndarray, lbin: jnp.ndarray, ncand: int, min_votes: int):
+def _per_query(
+    gsid: jnp.ndarray, lbin: jnp.ndarray, ncand: int, min_votes: int,
+    smooth: bool = False,
+):
     """gsid/lbin: (M,) int32 hit keys (invalid = BIG). Returns per-query
     proposals (gsid (ncand,), lbin (ncand,), votes (ncand,)) ordered by
-    (votes desc, gsid asc, lbin asc)."""
+    (votes desc, gsid asc, lbin asc).
+
+    With `smooth`, each bin is also credited its (gsid, bin+-1) neighbours'
+    counts before ranking — the long-read chaining approximation
+    (SURVEY.md §5.7): indel drift moves seed hits into adjacent bins, and
+    the smoothed vote concentrates them onto one candidate band."""
     M = gsid.shape[0]
     g, b = lax.sort((gsid, lbin), num_keys=2)
     valid = g < BIG
@@ -45,6 +53,17 @@ def _per_query(gsid: jnp.ndarray, lbin: jnp.ndarray, ncand: int, min_votes: int)
     s_next = jnp.concatenate([jnp.where(bnd, idx, BIG)[1:], jnp.int32([M])])
     next_start = lax.cummin(s_next, axis=0, reverse=True)
     votes = jnp.where(first, next_start - idx, 0)
+    if smooth:
+        # Runs are sorted by (g, b), so a (g, b+-1) neighbour run, if any,
+        # is the immediately adjacent run. For each rep: the next run's rep
+        # sits at next_start; the previous run's rep is the run start of the
+        # element just before our own run start.
+        rep_idx = lax.cummax(jnp.where(bnd, idx, 0), axis=0)  # own run start
+        nxt = jnp.clip(next_start, 0, M - 1)
+        prv = rep_idx[jnp.clip(rep_idx - 1, 0, M - 1)]
+        add_n = jnp.where((g[nxt] == g) & (b[nxt] == b + 1), votes[nxt], 0)
+        add_p = jnp.where((g[prv] == g) & (b[prv] == b - 1), votes[prv], 0)
+        votes = votes + jnp.where(first, add_n + add_p, 0)
     votes = jnp.where(votes >= min_votes, votes, 0)
     cg = jnp.where(votes > 0, g, BIG)
     cb = jnp.where(votes > 0, b, BIG)
@@ -52,7 +71,9 @@ def _per_query(gsid: jnp.ndarray, lbin: jnp.ndarray, ncand: int, min_votes: int)
     return sg[:ncand], sb[:ncand], -nv[:ncand]
 
 
-@functools.partial(jax.jit, static_argnames=("half", "ncand", "min_votes", "qlen"))
+@functools.partial(
+    jax.jit, static_argnames=("half", "ncand", "min_votes", "qlen", "smooth")
+)
 def propose_candidates(
     hit_pos: jnp.ndarray,     # (Q, Lq, H) int32 shard-buffer positions
     hit_valid: jnp.ndarray,   # (Q, Lq, H) bool
@@ -62,6 +83,7 @@ def propose_candidates(
     ncand: int,
     min_votes: int,
     qlen: int,
+    smooth: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Vote (subject, local-diagonal-bin) cells; return this shard's top-N
     proposals per query frame: (gsid, lbin, votes), each (Q, ncand) int32."""
@@ -75,7 +97,9 @@ def propose_candidates(
     # subject-local diagonal, >= -(qlen-1); bin is >= 0 after the +qlen shift
     ldiag = hit_pos - starts[srow] - qpos
     lbin = jnp.where(hit_valid, (ldiag + qlen) // half, BIG)
-    fn = functools.partial(_per_query, ncand=ncand, min_votes=max(min_votes, 1))
+    fn = functools.partial(
+        _per_query, ncand=ncand, min_votes=max(min_votes, 1), smooth=smooth
+    )
     return jax.vmap(fn)(gsid.reshape(Q, Lq * H), lbin.reshape(Q, Lq * H))
 
 

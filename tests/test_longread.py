@@ -1,0 +1,73 @@
+"""Long-read mode (BASELINE.json config 5): kbp-scale queries through the
+row-tiled SW kernel with neighbour-bin vote smoothing (chaining approx)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ghostm_tpu.cli import main as cli_main
+from tools.simulate import make_dataset
+
+
+def test_long_reads_end_to_end(tmp_path):
+    db_fa, reads_fa = make_dataset(
+        str(tmp_path / "lr"), n_proteins=30, n_reads=16, read_len=900,
+        sub_rate=0.01, indel_rate=0.02, seed=11, protein_len=(350, 500),
+    )
+    prefix = str(tmp_path / "idx")
+    out = str(tmp_path / "hits.tsv")
+    cfg = {
+        "query_frame_len": 384,
+        "band_width": 32,
+        "smooth_bins": True,
+        "query_batch": 16,
+    }
+    cfgf = str(tmp_path / "cfg.json")
+    with open(cfgf, "w") as f:
+        json.dump(cfg, f)
+    assert cli_main(["db", "-i", db_fa, "-o", prefix, "--config", cfgf]) == 0
+    assert cli_main(
+        ["aln", "-d", prefix, "-i", reads_fa, "-o", out, "--no-pallas",
+         "--config", cfgf, "--max-read-len", "1200"]
+    ) == 0
+    lines = [l for l in open(out).read().splitlines()[1:] if l]
+    top = {}
+    for l in lines:
+        f = l.split("\t")
+        top.setdefault(f[0], f[1])
+    correct = sum(1 for q, s in top.items() if q.split("_from_")[1] == s)
+    assert len(top) >= 14, f"only {len(top)}/16 long reads got hits"
+    assert correct >= 0.85 * len(top)
+    # long alignments should actually be long (hundreds of columns)
+    maxlen = max(int(l.split("\t")[3]) for l in lines)
+    assert maxlen > 150, f"longest alignment only {maxlen} columns"
+
+
+def test_row_tiling_invariance(rng):
+    """Same scores through rtile=Lq vs rtile splitting must agree (the
+    Pallas grid-carry path, interpret mode)."""
+    import jax.numpy as jnp
+
+    from ghostm_tpu.kernels import sw_pallas, sw_xla
+    from ghostm_tpu.ops.scoring import padded_matrix
+
+    MAT = padded_matrix()
+    N, Lq, B = 128, 64, 16
+    qs = rng.integers(0, 20, (N, Lq)).astype(np.int32)
+    ws = rng.integers(0, 20, (N, Lq + B)).astype(np.int32)
+    sc = sw_xla.banded_scores(jnp.asarray(qs), jnp.asarray(ws), jnp.asarray(MAT), B)
+    outs = []
+    for rt in (64, 32, 16):
+        outs.append(
+            tuple(
+                np.asarray(x)
+                for x in sw_pallas.sw_banded_pallas(
+                    sc, 11, 1, row_tile=rt, interpret=True
+                )
+            )
+        )
+    for o in outs[1:]:
+        for a, b in zip(outs[0], o):
+            np.testing.assert_array_equal(a, b)

@@ -33,8 +33,11 @@ def reads_from_proteins(
     n_reads: int,
     read_len: int = 100,
     sub_rate: float = 0.02,
+    indel_rate: float = 0.0,
 ) -> Tuple[List[str], List[str]]:
-    """Returns (names, dna_reads)."""
+    """Returns (names, dna_reads). `indel_rate` inserts/deletes single
+    CODONS (keeps frames intact) — exercises the long-read banded/chained
+    path (BASELINE.json config 5)."""
     names, seqs = [], []
     n_aa = read_len // 3
     for i in range(n_reads):
@@ -42,11 +45,23 @@ def reads_from_proteins(
         prot = proteins[pi]
         start = int(rng.integers(0, max(1, len(prot) - n_aa)))
         pep = prot[start : start + n_aa]
+        if indel_rate > 0:
+            pl = list(pep)
+            out = []
+            for aa in pl:
+                r = rng.random()
+                if r < indel_rate / 2:
+                    continue  # deletion
+                out.append(aa)
+                if r > 1 - indel_rate / 2:
+                    out.append(AA20[int(rng.integers(0, 20))])  # insertion
+            pep = "".join(out)
         dna = "".join(_REV[aa][int(rng.integers(0, len(_REV[aa])))] for aa in pep)
         # pad with random bases to the requested read length
         extra = read_len - len(dna)
         if extra > 0:
             dna += "".join(rng.choice(list("ACGT"), size=extra))
+        dna = dna[:read_len] if extra < 0 else dna
         # substitutions
         d = list(dna)
         for j in range(len(d)):
@@ -73,13 +88,17 @@ def make_dataset(
     read_len: int = 100,
     sub_rate: float = 0.02,
     seed: int = 0,
+    indel_rate: float = 0.0,
+    protein_len=(120, 400),
 ):
     rng = np.random.default_rng(seed)
-    prots = random_proteins(rng, n_proteins)
+    prots = random_proteins(rng, n_proteins, *protein_len)
     write_fasta(
         f"{out_prefix}_db.fa", [f"subj{i}" for i in range(len(prots))], prots
     )
-    names, reads = reads_from_proteins(rng, prots, n_reads, read_len, sub_rate)
+    names, reads = reads_from_proteins(
+        rng, prots, n_reads, read_len, sub_rate, indel_rate
+    )
     write_fasta(f"{out_prefix}_reads.fa", names, reads)
     return f"{out_prefix}_db.fa", f"{out_prefix}_reads.fa"
 
