@@ -97,11 +97,19 @@ def cmd_aln(args) -> int:
         query_batch=args.batch,
         profile_dir=args.profile,
         checkpoint_batches=args.checkpoint_batches,
+        data_axis=args.data_axis,
+        db_axis=args.db_axis,
     )
+    mesh = None
+    if cfg.data_axis * cfg.db_axis > 1 or args.num_processes:
+        from ghostm_tpu.parallel.mesh import init_distributed, make_mesh
+
+        init_distributed(args.coordinator, args.num_processes, args.process_id)
+        mesh = make_mesh(cfg.data_axis, cfg.db_axis)
     index = load_index(args.db)
     if cfg.seed_len != index.seed_len:
         cfg = cfg.replace(seed_len=index.seed_len)
-    engine = SearchEngine(cfg, index, use_pallas=args.pallas)
+    engine = SearchEngine(cfg, index, use_pallas=args.pallas, mesh=mesh)
     n = run_search(
         engine,
         read_batches(args.input, cfg.query_batch, args.max_read_len),
@@ -142,6 +150,15 @@ def main(argv=None) -> int:
                     help="resume from per-batch checkpoint parts")
     pa.add_argument("--checkpoint-batches", type=int, default=None,
                     help=">0: write results in per-batch parts with a cursor")
+    # distribution (SURVEY.md §2.1): mesh axes + multi-host bootstrap
+    pa.add_argument("--data-axis", type=int, default=None,
+                    help="mesh size along 'data' (query data-parallel)")
+    pa.add_argument("--db-axis", type=int, default=None,
+                    help="mesh size along 'db' (index shards across devices)")
+    pa.add_argument("--coordinator", type=str, default=None,
+                    help="host:port for jax.distributed (multi-host)")
+    pa.add_argument("--num-processes", type=int, default=None)
+    pa.add_argument("--process-id", type=int, default=None)
     _add_common(pa)
     pa.set_defaults(fn=cmd_aln)
 

@@ -39,13 +39,32 @@ def banded_scores(
       matrix: (32, 32) int32 padded scoring table.
     Returns:
       (N, Lq, band) int32 with sc[n, i, b] = matrix[q[n,i], windows[n, i+b]].
+
+    TPU-native formulation: random gathers are catastrophically slow on TPU
+    (measured 1.5 s for 84M cells), so both lookups become ONE-HOT
+    CONTRACTIONS that XLA fuses onto the MXU/VPU:
+      profile:  mq = onehot(q) @ matrix          (exact: one 1.0 per row)
+      scores:   sc[n,i,b] = sum_a onehot(t)[n,i,b,a] * mq[n,i,a]
+    Every matrix entry (BLOSUM ints and LOW = -2^20, a power of two) is
+    bf16-exact, each sum has exactly one non-zero term, and accumulation is
+    f32 — the result is bit-identical to the gather.
     """
     Lq = qcodes.shape[1]
-    mq = matrix[qcodes.astype(jnp.int32)]  # (N, Lq, 32)
+    a32 = jnp.arange(32, dtype=jnp.int32)
+    ohq = (qcodes.astype(jnp.int32)[..., None] == a32).astype(jnp.bfloat16)
+    mq = jax.lax.dot_general(
+        ohq, matrix.astype(jnp.bfloat16),
+        (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (N, Lq, 32)
     tc = jnp.stack(
         [windows[:, b : b + Lq] for b in range(band)], axis=-1
     ).astype(jnp.int32)  # (N, Lq, band)
-    return jnp.take_along_axis(mq, tc, axis=-1)
+    oht = (tc[..., None] == a32).astype(jnp.float32)  # (N, Lq, B, 32)
+    sc = jnp.einsum(
+        "niba,nia->nib", oht, mq, preferred_element_type=jnp.float32
+    )
+    return sc.astype(jnp.int32)
 
 
 def _row_step(go1, ge, bext, cvec, carry, s):
