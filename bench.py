@@ -26,28 +26,50 @@ OPS_PER_CELL = 30          # counted from kernels/sw_pallas.py row body
 ROOFLINE_GCUPS = VPU_INT_OPS / OPS_PER_CELL / 1e9
 
 
-def bench_kernel(reps: int = 10):
+def _timed(f, reps, trials=3):
+    """Robust timing on the axon tunnel backend: block_until_ready does not
+    reliably wait, large host fetches crawl, and the first trial after
+    compile can run 10x slow — so sync through a scalar reduction and take
+    the best of several trials."""
     import jax
     import jax.numpy as jnp
 
-    from ghostm_tpu.kernels import sw_pallas
+    red = lambda: jnp.sum(jax.tree_util.tree_leaves(f())[0].astype(jnp.int32))
+    np.asarray(red())  # warmup + compile
+    best = float("inf")
+    for _ in range(trials):
+        t = time.time()
+        acc = jnp.int32(0)
+        for _ in range(reps):
+            acc = acc + red()
+        np.asarray(acc)
+        best = min(best, (time.time() - t) / reps)
+    return best
+
+
+def bench_kernel(reps: int = 10):
+    """Fused scores+SW step (what the engine actually runs per chunk)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ghostm_tpu.kernels import sw_pallas, sw_xla
+    from ghostm_tpu.ops.scoring import padded_matrix
 
     rng = np.random.default_rng(0)
-    N, Lq, B = 131072, 40, 32
-    sc = jnp.asarray(rng.integers(-4, 12, (N, Lq, B)).astype(np.int32))
+    N, Lq, B = 65536, 40, 32
+    mat = jnp.asarray(padded_matrix())
+    qs = jnp.asarray(rng.integers(0, 20, (N, Lq)).astype(np.int32))
+    ws = jnp.asarray(rng.integers(0, 20, (N, Lq + B)).astype(np.int32))
     use_pallas = jax.default_backend() == "tpu"
-    f = lambda: sw_pallas.sw_banded_pallas(sc, 11, 1, row_tile=40)[0] \
-        if use_pallas else None
-    if not use_pallas:
-        from ghostm_tpu.kernels import sw_xla
 
-        f = lambda: sw_xla.sw_banded(sc, 11, 1)[0]
-    f().block_until_ready()
-    t = time.time()
-    for _ in range(reps):
-        r = f()
-    r.block_until_ready()
-    dt = (time.time() - t) / reps
+    @jax.jit
+    def step(qs, ws):
+        sc = sw_xla.banded_scores(qs, ws, mat, B)
+        if use_pallas:
+            return sw_pallas.sw_banded_pallas(sc, 11, 1, row_tile=40)
+        return sw_xla.sw_banded(sc, 11, 1)
+
+    dt = _timed(lambda: step(qs, ws), reps)
     return N * Lq * B / dt / 1e9
 
 
