@@ -19,7 +19,12 @@ class Config:
     (~100 bp) metagenomic reads vs a protein DB, GHOSTM's design point."""
 
     # --- seeding (SURVEY.md §1.1 step 3) ---
-    seed_len: int = 3            # k — amino-acid k-mer length of the seed index
+    # k — amino-acid k-mer length of the seed index. SCALE WITH DB SIZE:
+    # there are 20**k buckets and hits_per_seed caps each one, so total
+    # retained seed positions <= 20**k * hits_per_seed. k=3 suits toy/test
+    # DBs (<~1M residues); use k=4 for ~10-100M residues and k=5 for
+    # SwissProt/nr scales, raising hits_per_seed to 64-256.
+    seed_len: int = 3
     # Per-k-mer bucket cap, applied GLOBALLY at `db` build time (before
     # sharding) in (subject id, offset) order — the deterministic overflow
     # policy that keeps results invariant to shard layout (SURVEY.md §7.2).

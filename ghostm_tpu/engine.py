@@ -80,14 +80,36 @@ def propose_shard(
     min_votes: int,
     smooth: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """(Q, ncand) proposals (gsid, lbin, votes) for this shard."""
-    Lq = qflat.shape[1]
+    """(Q, ncand) proposals (gsid, lbin, votes) for this shard.
+
+    Chunked over query frames so the expanded hit tensor (Q, Lq, expand)
+    stays bounded (~64 MB) even with the large per-seed expansions that
+    realistic DB scales need (seed_len 4-5, caps 64-256)."""
+    Qf, Lq = qflat.shape
     qi = qflat.astype(jnp.int32)
-    keys = seed_lookup.query_kmer_keys(qi, seed_len)
-    pos, valid = seed_lookup.lookup_hits(bucket_starts, positions, keys, expand)
-    return cand_mod.propose_candidates.__wrapped__(
-        pos, valid, starts, subject_ids,
-        band // 2, ncand, min_votes, Lq, smooth,
+    per_frame = Lq * expand * 4
+    qchunk = max(128, min(Qf, (64 << 20) // per_frame // 128 * 128))
+    qpad = _round_up(Qf, qchunk)
+    qi_p = jnp.concatenate(
+        [qi, jnp.full((qpad - Qf, Lq), 25, jnp.int32)], axis=0
+    )
+
+    def chunk_fn(qc):
+        keys = seed_lookup.query_kmer_keys(qc, seed_len)
+        pos, valid = seed_lookup.lookup_hits(
+            bucket_starts, positions, keys, expand
+        )
+        return cand_mod.propose_candidates.__wrapped__(
+            pos, valid, starts, subject_ids,
+            band // 2, ncand, min_votes, Lq, smooth,
+        )
+
+    g, b, v = lax.map(chunk_fn, qi_p.reshape(qpad // qchunk, qchunk, Lq))
+    ncols = g.shape[-1]
+    return (
+        g.reshape(qpad, ncols)[:Qf],
+        b.reshape(qpad, ncols)[:Qf],
+        v.reshape(qpad, ncols)[:Qf],
     )
 
 

@@ -70,15 +70,25 @@ def kmer_keys(buf: np.ndarray, k: int) -> np.ndarray:
     return keys.astype(np.int32)
 
 
+def _mix(x: np.ndarray) -> np.ndarray:
+    """Deterministic 32-bit integer hash (splitmix-style avalanche)."""
+    x = x.astype(np.uint64)
+    x = (x ^ (x >> 16)) * np.uint64(0x45D9F3B)
+    x = (x ^ (x >> 16)) * np.uint64(0x45D9F3B)
+    return (x ^ (x >> 16)) & np.uint64(0xFFFFFFFF)
+
+
 def global_bucket_truncation(
     seqs: list, k: int, cap: int
 ) -> list:
     """Decide, GLOBALLY and before sharding, which seed positions survive the
     per-k-mer cap (reference analogue: GHOSTM limits hits for high-frequency
-    seeds). Positions within a bucket are kept in (global subject id, offset)
-    enumeration order, so the surviving set — and therefore every vote count
-    downstream — is identical for ANY shard layout (SURVEY.md §7.2
-    "Determinism across shard counts").
+    seeds). Survivors are chosen by a deterministic HASH of the global
+    (subject id, offset) — a pure function of layout-invariant identifiers,
+    so the surviving set (and every vote count downstream) is identical for
+    ANY shard layout (SURVEY.md §7.2) while sampling each bucket uniformly
+    across subjects (plain id-order would make late subjects unfindable in
+    over-full buckets).
 
     Args:
       seqs: encoded subject sequences in GLOBAL id order.
@@ -89,9 +99,15 @@ def global_bucket_truncation(
     per_keys = [kmer_keys(s, k) for s in seqs]
     if not per_keys:
         return []
-    all_keys = np.concatenate(per_keys) if per_keys else np.zeros(0, np.int32)
+    all_keys = np.concatenate(per_keys)
     nb = NUM_SEED_AA**k
-    order = np.argsort(all_keys, kind="stable")
+    lens = np.array([len(pk) for pk in per_keys], dtype=np.int64)
+    gsid = np.repeat(np.arange(len(per_keys), dtype=np.int64), lens)
+    offset = np.arange(len(all_keys), dtype=np.int64) - np.repeat(
+        np.cumsum(lens) - lens, lens
+    )
+    prio = _mix(gsid * np.uint64(1_000_003) + offset.astype(np.uint64))
+    order = np.lexsort((offset, gsid, prio, all_keys))  # primary: key, then hash
     sorted_keys = all_keys[order]
     bucket_starts = np.searchsorted(sorted_keys, np.arange(nb + 1))
     rank = np.empty(len(all_keys), dtype=np.int64)
