@@ -79,6 +79,7 @@ def propose_shard(
     ncand: int,
     min_votes: int,
     smooth: bool = False,
+    nbins: int = 1 << 20,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(Q, ncand) proposals (gsid, lbin, votes) for this shard.
 
@@ -101,7 +102,7 @@ def propose_shard(
         )
         return cand_mod.propose_candidates.__wrapped__(
             pos, valid, starts, subject_ids,
-            band // 2, ncand, min_votes, Lq, smooth,
+            band // 2, ncand, min_votes, Lq, smooth, nbins,
         )
 
     g, b, v = lax.map(chunk_fn, qi_p.reshape(qpad // qchunk, qchunk, Lq))
@@ -111,6 +112,27 @@ def propose_shard(
         b.reshape(qpad, ncols)[:Qf],
         v.reshape(qpad, ncols)[:Qf],
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("gap_open", "gap_extend", "band")
+)
+def _refine_device(qc, w, g0, lo, hi, matrix, *, gap_open, gap_extend, band):
+    """Moves DP + device traceback for the reported hits (small batch)."""
+    Lq = qc.shape[1]
+    sc = sw_xla.banded_scores(qc, w, matrix, band)
+    iota_ib = (
+        jnp.arange(Lq, dtype=jnp.int32)[:, None]
+        + jnp.arange(band, dtype=jnp.int32)[None, :]
+    )
+    j = g0[:, None, None] + iota_ib[None]
+    inb = (j >= lo[:, None, None]) & (j < hi[:, None, None])
+    sc = jnp.where(inb, sc, LOW)
+    s2, ie2, be2, moves = sw_xla.sw_banded_moves.__wrapped__(
+        sc, gap_open, gap_extend
+    )
+    stats = sw_xla.traceback_stats_device.__wrapped__(moves, ie2, be2, qc, w)
+    return s2, stats
 
 
 # --------------------------------------------------------------------------
@@ -232,7 +254,7 @@ def rank_reads(score, gsid, frame, qend, s_end, bend, g0, srow, shard, topk):
 propose_shard_jit = functools.partial(
     jax.jit,
     static_argnames=("seed_len", "expand", "band", "ncand", "min_votes",
-                     "smooth"),
+                     "smooth", "nbins"),
 )(propose_shard)
 
 align_shard_jit = functools.partial(
@@ -288,6 +310,8 @@ class SearchEngine:
             ncand=cfg.candidates_per_frame,
             min_votes=cfg.min_votes,
             smooth=cfg.smooth_bins,
+            nbins=int(index.lengths.max() + cfg.query_frame_len)
+            // (cfg.band_width // 2) + 2,
         )
         self._align_static = dict(
             band=cfg.band_width,
@@ -437,9 +461,11 @@ class SearchEngine:
         """Recompute the banded DP with move recording for reported hits and
         return alignment stats, all (R, K): qstart/qend (frame-local aa,
         inclusive), sstart/send (window-local), length, matches, mismatch,
-        gapopen. Invalid hits (score 0) get -1 coords."""
-        from ghostm_tpu.report import traceback_stats
+        gapopen. Invalid hits (score 0) get -1 coords.
 
+        The DP, move recording AND traceback walk all run on device; only
+        the small stat vectors cross the host boundary (the move matrices
+        are ~50 MB/batch — SURVEY.md §3.3 boundary discipline)."""
         cfg = self.cfg
         R, K = hits.score.shape
         Lq, B = cfg.query_frame_len, cfg.band_width
@@ -462,22 +488,12 @@ class SearchEngine:
             st = self.index.starts[si][srowf[m]]
             lo[m] = st
             hi[m] = st + self.index.lengths[si][srowf[m]]
-        sc = np.asarray(
-            sw_xla.banded_scores(
-                jnp.asarray(qc.astype(np.int32)),
-                jnp.asarray(w.astype(np.int32)), self.matrix, B,
-            )
+        s2, stats = _refine_device(
+            jnp.asarray(qc.astype(np.int32)), jnp.asarray(w.astype(np.int32)),
+            jnp.asarray(g0f.astype(np.int32)), jnp.asarray(lo.astype(np.int32)),
+            jnp.asarray(hi.astype(np.int32)), self.matrix,
+            gap_open=cfg.gap_open, gap_extend=cfg.gap_extend, band=B,
         )
-        j = g0f[:, None, None] + (
-            np.arange(Lq)[:, None] + np.arange(B)[None, :]
-        )[None]
-        sc = np.where((j >= lo[:, None, None]) & (j < hi[:, None, None]), sc, LOW)
-        s2, ie2, be2, moves = sw_xla.sw_banded_moves(
-            jnp.asarray(sc), cfg.gap_open, cfg.gap_extend
-        )
-        stats = traceback_stats(
-            np.asarray(moves), np.asarray(ie2), np.asarray(be2), qc, w
-        )
-        stats = {k: v.reshape(R, K) for k, v in stats.items()}
+        stats = {k: np.asarray(v).reshape(R, K) for k, v in stats.items()}
         stats["score_check"] = np.asarray(s2).reshape(R, K)
         return stats

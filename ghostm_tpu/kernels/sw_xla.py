@@ -183,3 +183,83 @@ def sw_banded_moves(sc: jnp.ndarray, gap_open: int, gap_extend: int):
     (H, F, bestH, bestI, _), moves = lax.scan(step, init, jnp.moveaxis(sc, 1, 0))
     score, i_end, b_end = _finalize(bestH, bestI, B)
     return score, i_end, b_end, jnp.moveaxis(moves, 0, 1)  # (N, Lq, B)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def traceback_stats_device(
+    moves: jnp.ndarray,  # (n, Lq, B) uint8 — encoding above
+    ie: jnp.ndarray,
+    be: jnp.ndarray,
+    qc: jnp.ndarray,     # (n, Lq) query codes
+    w: jnp.ndarray,      # (n, Lq + B) window codes
+):
+    """Vectorised traceback walk ON DEVICE (mirrors report.traceback_stats;
+    tests assert equality). Device-side matters operationally: fetching the
+    full move matrices to the host costs ~50 MB/batch, the six stat vectors
+    cost ~1 MB (SURVEY.md §3.3 — host boundary carries only small results).
+    """
+    n, Lq, B = moves.shape
+    nn = jnp.arange(n)
+    i = ie.astype(jnp.int32)
+    b = be.astype(jnp.int32)
+    alive = i >= 0
+    st = jnp.where(alive, 0, 3).astype(jnp.int32)  # 0=H 1=E 2=F 3=done
+    qstart = jnp.where(alive, i, -1)
+    sstart = jnp.where(alive, i + b, -1)
+    zeros = jnp.zeros(n, jnp.int32)
+    mvi = moves.astype(jnp.int32)
+
+    def body(_, state):
+        i, b, st, qstart, sstart, length, matches, mismatch, gapopen = state
+        ii = jnp.clip(i, 0, Lq - 1)
+        bb = jnp.clip(b, 0, B - 1)
+        mv = mvi[nn, ii, bb]
+        inH = st == 0
+        c = mv & 3
+        stop = inH & ((c == 0) | (i < 0) | (b < 0) | (b >= B))
+        diag = inH & ~stop & (c == 1)
+        toE = inH & ~stop & (c == 2)
+        toF = inH & ~stop & (c == 3)
+        qchar = qc[nn, ii]
+        schar = w[nn, jnp.clip(ii + bb, 0, Lq + B - 1)]
+        eq = (qchar == schar) & diag
+        matches = matches + eq
+        mismatch = mismatch + (diag & ~eq)
+        length = length + diag
+        qstart = jnp.where(diag, i, qstart)
+        sstart = jnp.where(diag, i + b, sstart)
+        i = jnp.where(diag, i - 1, i)
+        st = jnp.where(stop, 3, st)
+        st = jnp.where(toE, 1, st)
+        st = jnp.where(toF, 2, st)
+        inE = st == 1
+        eopen = ((mv >> 2) & 1).astype(jnp.bool_)
+        length = length + inE
+        sstart = jnp.where(inE, i + b - 1, sstart)
+        b = jnp.where(inE, b - 1, b)
+        gapopen = gapopen + (inE & eopen)
+        st = jnp.where(inE & eopen, 0, st)
+        inF = st == 2
+        fopen = ((mv >> 3) & 1).astype(jnp.bool_)
+        length = length + inF
+        qstart = jnp.where(inF, i, qstart)
+        i = jnp.where(inF, i - 1, i)
+        b = jnp.where(inF, b + 1, b)
+        gapopen = gapopen + (inF & fopen)
+        st = jnp.where(inF & fopen, 0, st)
+        st = jnp.where((st == 0) & (i < 0), 3, st)
+        return (i, b, st, qstart, sstart, length, matches, mismatch, gapopen)
+
+    init = (i, b, st, qstart, sstart, zeros, zeros, zeros, zeros)
+    (i, b, st, qstart, sstart, length, matches, mismatch, gapopen) = (
+        lax.fori_loop(0, 2 * (Lq + B) + 4, body, init)
+    )
+    empty = ie < 0
+    return {
+        "qstart": jnp.where(empty, -1, qstart),
+        "qend": jnp.where(empty, -1, ie),
+        "sstart": jnp.where(empty, -1, sstart),
+        "send": jnp.where(empty, -1, ie + be),
+        "length": length, "matches": matches,
+        "mismatch": mismatch, "gapopen": gapopen,
+    }

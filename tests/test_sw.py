@@ -138,3 +138,22 @@ def test_moves_traceback_consistency(rng):
             if i < 0:
                 break
     assert total == score
+
+
+def test_traceback_device_matches_numpy(rng):
+    from ghostm_tpu.report import traceback_stats
+
+    Lq, B = 24, 16
+    qs, ws = [], []
+    for t in range(16):
+        q, w = _random_case(rng, Lq, B, related=(t % 2 == 0))
+        qs.append(q)
+        ws.append(w)
+    sc = _scores(qs, ws, B)
+    s, ie, be, moves = sw_xla.sw_banded_moves(sc, GO, GE)
+    qcn = np.stack(qs).astype(np.int32)
+    wn = np.stack(ws).astype(np.int32)
+    want = traceback_stats(np.asarray(moves), np.asarray(ie), np.asarray(be), qcn, wn)
+    got = sw_xla.traceback_stats_device(moves, ie, be, jnp.asarray(qcn), jnp.asarray(wn))
+    for k in want:
+        np.testing.assert_array_equal(np.asarray(got[k]), want[k], err_msg=k)
