@@ -128,6 +128,9 @@ def bench_end_to_end():
 
 
 def main():
+    from ghostm_tpu.cli import _enable_compile_cache
+
+    _enable_compile_cache()
     t0 = time.time()
     gcups = bench_kernel()
     reads_per_s, e2e_gcups, max_score = bench_end_to_end()

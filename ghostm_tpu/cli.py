@@ -10,6 +10,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 import sys
 import time
 
@@ -164,7 +165,26 @@ def main(argv=None) -> int:
 
     args = ap.parse_args(argv)
     setup_logging(json_lines=args.log_json, verbose=args.verbose)
+    _enable_compile_cache()
     return args.fn(args)
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: first-compile of the search step
+    costs minutes on remote-compile TPU setups; cached re-runs are instant."""
+    try:
+        import jax
+
+        cache = os.environ.get(
+            "GHOSTM_TPU_COMPILE_CACHE",
+            os.path.expanduser("~/.cache/ghostm_tpu_jax"),
+        )
+        if cache:
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":

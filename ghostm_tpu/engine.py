@@ -62,6 +62,27 @@ def pad_buffer(buf: np.ndarray, cfg: Config) -> np.ndarray:
     return np.pad(buf, (lead, tail), constant_values=SENTINEL)
 
 
+def seed_key_tables(index: StackedIndex, shard: int, nbins: int):
+    """Key tables PARALLEL to the shard's seed-position array: for position
+    positions[j] at subject row r with subject-local offset o,
+      rowbase[j] = r * nbins        localoff[j] = o.
+    The propose phase then builds each hit's packed vote key with two
+    direct gathers at the hit's bucket index — no searchsorted, no gather
+    of the position value itself, and bucket-contiguous access locality."""
+    st = index.shards[shard].store
+    pos = index.positions[shard].astype(np.int64)
+    row = np.clip(
+        np.searchsorted(np.asarray(st.starts, np.int64), pos, side="right") - 1,
+        0, max(st.num_subjects - 1, 0),
+    )
+    starts_row = (
+        np.asarray(st.starts, np.int64)[row] if st.num_subjects else row
+    )
+    rowbase = (row * nbins).astype(np.int32)
+    localoff = (pos - starts_row).astype(np.int32)
+    return rowbase, localoff
+
+
 # --------------------------------------------------------------------------
 # Phase 1: propose (seed lookup + voting), traceable per-shard function
 # --------------------------------------------------------------------------
@@ -69,8 +90,8 @@ def pad_buffer(buf: np.ndarray, cfg: Config) -> np.ndarray:
 def propose_shard(
     qflat: jnp.ndarray,
     bucket_starts: jnp.ndarray,
-    positions: jnp.ndarray,
-    starts: jnp.ndarray,
+    rowbase: jnp.ndarray,
+    localoff: jnp.ndarray,
     subject_ids: jnp.ndarray,
     *,
     seed_len: int,
@@ -95,14 +116,21 @@ def propose_shard(
         [qi, jnp.full((qpad - Qf, Lq), 25, jnp.int32)], axis=0
     )
 
+    half = band // 2
+    qpos = jnp.arange(Lq, dtype=jnp.int32)[None, :, None]
+
     def chunk_fn(qc):
-        keys = seed_lookup.query_kmer_keys(qc, seed_len)
-        pos, valid = seed_lookup.lookup_hits(
-            bucket_starts, positions, keys, expand
-        )
-        return cand_mod.propose_candidates.__wrapped__(
-            pos, valid, starts, subject_ids,
-            band // 2, ncand, min_votes, Lq, smooth, nbins,
+        kmers = seed_lookup.query_kmer_keys(qc, seed_len)
+        start = bucket_starts[kmers]
+        count = bucket_starts[kmers + 1] - start
+        offs = jnp.arange(expand, dtype=jnp.int32)
+        idx = jnp.clip(start[..., None] + offs, 0, rowbase.shape[0] - 1)
+        valid = offs < count[..., None]
+        lbin = (localoff[idx] - qpos + Lq) // half
+        keys = jnp.where(valid, rowbase[idx] + lbin, cand_mod.BIG)
+        return cand_mod.vote_and_rank.__wrapped__(
+            keys.reshape(qc.shape[0], Lq * expand), subject_ids,
+            ncand, min_votes, smooth, nbins,
         )
 
     g, b, v = lax.map(chunk_fn, qi_p.reshape(qpad // qchunk, qchunk, Lq))
@@ -313,6 +341,7 @@ class SearchEngine:
             nbins=int(index.lengths.max() + cfg.query_frame_len)
             // (cfg.band_width // 2) + 2,
         )
+        self._nbins = self._propose_static["nbins"]
         self._align_static = dict(
             band=cfg.band_width,
             gap_open=cfg.gap_open,
@@ -324,14 +353,16 @@ class SearchEngine:
         if mesh is None:
             self.shard_dev: List[dict] = []
             for i in range(self.n_shards):
+                rb, lo = seed_key_tables(index, i, self._nbins)
                 self.shard_dev.append(
                     dict(
                         buffer=jnp.asarray(pad_buffer(index.buffers[i], cfg)),
                         bucket_starts=jnp.asarray(index.bucket_starts[i]),
-                        positions=jnp.asarray(index.positions[i]),
                         starts=jnp.asarray(index.starts[i]),
                         subject_ids=jnp.asarray(index.subject_ids[i]),
                         lengths=jnp.asarray(index.lengths[i]),
+                        rowbase=jnp.asarray(rb),
+                        localoff=jnp.asarray(lo),
                     )
                 )
         else:
@@ -351,14 +382,16 @@ class SearchEngine:
             buffers = np.stack(
                 [pad_buffer(index.buffers[i], cfg) for i in range(n_db)]
             )
+            maps = [seed_key_tables(index, i, self._nbins) for i in range(n_db)]
             self.shard_dev = [
                 dict(
                     buffer=put(buffers),
                     bucket_starts=put(index.bucket_starts),
-                    positions=put(index.positions),
                     starts=put(index.starts),
                     subject_ids=put(index.subject_ids),
                     lengths=put(index.lengths),
+                    rowbase=put(np.stack([m[0] for m in maps])),
+                    localoff=put(np.stack([m[1] for m in maps])),
                 )
             ]
             self._qsharding = pm.query_sharding(mesh)
@@ -383,8 +416,9 @@ class SearchEngine:
             d = self.shard_dev[0]
             out = self._dist_step(
                 jax.device_put(qflat_np, self._qsharding),
-                d["buffer"], d["bucket_starts"], d["positions"], d["starts"],
-                d["subject_ids"], d["lengths"], self.matrix,
+                d["buffer"], d["bucket_starts"], d["rowbase"],
+                d["localoff"], d["starts"], d["subject_ids"], d["lengths"],
+                self.matrix,
             )
             out = {k: np.asarray(v) for k, v in out.items()}
             return BatchHits(
@@ -396,8 +430,8 @@ class SearchEngine:
         props = []
         for d in self.shard_dev:
             g, b, v = propose_shard_jit(
-                qflat, d["bucket_starts"], d["positions"], d["starts"],
-                d["subject_ids"], **self._propose_static,
+                qflat, d["bucket_starts"], d["rowbase"],
+                d["localoff"], d["subject_ids"], **self._propose_static,
             )
             props.append((np.asarray(g), np.asarray(b), np.asarray(v)))
         pg = np.concatenate([p[0] for p in props], axis=1)

@@ -66,42 +66,35 @@ def _per_query(keys: jnp.ndarray, nbins: int, ncand: int, min_votes: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("half", "ncand", "min_votes", "qlen", "smooth", "nbins"),
+    static_argnames=("ncand", "min_votes", "smooth", "nbins"),
 )
-def propose_candidates(
-    hit_pos: jnp.ndarray,     # (Q, Lq, H) int32 shard-buffer positions
-    hit_valid: jnp.ndarray,   # (Q, Lq, H) bool
-    starts: jnp.ndarray,      # (S,) int32 subject starts (sorted, pad big)
+def vote_and_rank(
+    keys: jnp.ndarray,        # (Q, M) int32 packed (row*nbins + bin) hit
+                              # keys, invalid = BIG
     subject_ids: jnp.ndarray, # (S,) int32 global ids (sorted, pad BIG)
-    half: int,                # band_width // 2 (diagonal bin size)
     ncand: int,
     min_votes: int,
-    qlen: int,
     smooth: bool = False,
     nbins: int = 1 << 20,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Vote (subject, local-diagonal-bin) cells; return this shard's top-N
-    proposals per query frame: (gsid, lbin, votes), each (Q, ncand) int32."""
-    Q, Lq, H = hit_pos.shape
-    S = starts.shape[0]
+    """Vote packed (subject-row, local-diagonal-bin) cells; return this
+    shard's top-N proposals per query frame: (gsid, lbin, votes), each
+    (Q, ncand) int32. The caller builds `keys` with direct gathers from
+    position-parallel key tables (engine.propose_shard) — no searchsorted,
+    no per-hit position gather (TPU gathers are the enemy, SURVEY.md §7.2).
+    """
+    Q, M = keys.shape
+    S = subject_ids.shape[0]
     if S * nbins >= (1 << 31):
         raise ValueError(
             f"packed vote keys overflow int32: {S} subjects x {nbins} bins; "
             "use more shards or a wider band"
         )
-    srow = jnp.clip(
-        jnp.searchsorted(starts, hit_pos, side="right") - 1, 0, S - 1
-    )
-    qpos = jnp.arange(Lq, dtype=jnp.int32)[None, :, None]
-    # subject-local diagonal, >= -(qlen-1); bin >= 0 after the +qlen shift
-    ldiag = hit_pos - starts[srow] - qpos
-    lbin = (ldiag + qlen) // half
-    keys = jnp.where(hit_valid, srow * nbins + lbin, BIG)
     fn = functools.partial(
         _per_query, nbins=nbins, ncand=ncand,
         min_votes=max(min_votes, 1), smooth=smooth,
     )
-    top_keys, votes = jax.vmap(fn)(keys.reshape(Q, Lq * H))
+    top_keys, votes = jax.vmap(fn)(keys)
     top_row = jnp.clip(top_keys // nbins, 0, S - 1)
     gsid = jnp.where(votes > 0, subject_ids[top_row], BIG)
     lbin = jnp.where(votes > 0, top_keys % nbins, BIG)

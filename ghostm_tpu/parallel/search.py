@@ -41,13 +41,14 @@ def make_distributed_step(mesh, propose_static: dict, align_static: dict,
     """Build the jitted mesh-wide search step (see engine.SearchEngine)."""
     ncand = propose_static["ncand"]
 
-    def local_step(qflat, buffers, bucket_starts, positions, starts,
-                   subject_ids, lengths, matrix):
+    def local_step(qflat, buffers, bucket_starts, rowbase,
+                   localoff, starts, subject_ids, lengths, matrix):
         # local shard rows: exactly one along "db"
-        buf, bst, pos = buffers[0], bucket_starts[0], positions[0]
+        buf, bst = buffers[0], bucket_starts[0]
+        rb, lo = rowbase[0], localoff[0]
         st, sid, ln = starts[0], subject_ids[0], lengths[0]
         # --- phase 1: propose
-        pg, pb, pv = propose_shard(qflat, bst, pos, st, sid, **propose_static)
+        pg, pb, pv = propose_shard(qflat, bst, rb, lo, sid, **propose_static)
         # --- phase 2: collective select
         gath = [
             lax.all_gather(x, DB_AXIS, axis=0, tiled=False)
@@ -100,17 +101,17 @@ def make_distributed_step(mesh, propose_static: dict, align_static: dict,
         local_step,
         mesh=mesh,
         in_specs=(P(DATA_AXIS), specs_idx, specs_idx, specs_idx, specs_idx,
-                  specs_idx, specs_idx, P()),
+                  specs_idx, specs_idx, specs_idx, P()),
         out_specs=tuple([P(DATA_AXIS)] * 9),
         check_vma=False,
     )
 
     @jax.jit
-    def step(qflat, buffers, bucket_starts, positions, starts, subject_ids,
-             lengths, matrix) -> Dict[str, jnp.ndarray]:
+    def step(qflat, buffers, bucket_starts, rowbase, localoff,
+             starts, subject_ids, lengths, matrix) -> Dict[str, jnp.ndarray]:
         (score, gsid, frame, qend, s_end, bend, g0, srow, shard) = fn(
-            qflat, buffers, bucket_starts, positions, starts, subject_ids,
-            lengths, matrix,
+            qflat, buffers, bucket_starts, rowbase, localoff,
+            starts, subject_ids, lengths, matrix,
         )
         return {
             "score": score, "gsid": gsid, "frame": frame, "qend": qend,
