@@ -83,8 +83,8 @@ def bench_end_to_end():
     from tools.simulate import random_proteins, reads_from_proteins
 
     rng = np.random.default_rng(1)
-    cfg = Config(query_batch=4096)
-    prots = random_proteins(rng, 2000, lo=150, hi=450)
+    cfg = Config(query_batch=4096, seed_len=4, hits_per_seed=64)
+    prots = random_proteins(rng, 20000, lo=150, hi=450)
     records = [(f"s{i}", p.encode()) for i, p in enumerate(prots)]
     keep = seeds.global_bucket_truncation(
         [encode_aa(s) for _, s in records], cfg.seed_len, cfg.hits_per_seed

@@ -50,6 +50,8 @@ def main():
     ref = ref_eng.search_batch(qcodes)
 
     # distributed: ("data"=1, "db"=2) mesh across the two processes
+    from ghostm_tpu.engine import seed_key_tables
+
     mesh = pm.make_mesh(1, 2)
     step = make_distributed_step(
         mesh, ref_eng._propose_static, ref_eng._align_static, cfg.max_hits
@@ -59,10 +61,13 @@ def main():
     buffers = np.stack(
         [pad_buffer(index.buffers[i], cfg) for i in range(2)]
     )
+    maps = [seed_key_tables(index, i, ref_eng._nbins) for i in range(2)]
     qflat = qcodes.reshape(-1, cfg.query_frame_len)
     out = step(
         jax.device_put(qflat, pm.query_sharding(mesh)),
-        put(buffers), put(index.bucket_starts), put(index.positions),
+        put(buffers), put(index.bucket_starts),
+        put(np.stack([m[0] for m in maps])),
+        put(np.stack([m[1] for m in maps])),
         put(index.starts), put(index.subject_ids), put(index.lengths),
         jax.device_put(
             np.asarray(ref_eng.matrix), pm.replicated(mesh)

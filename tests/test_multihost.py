@@ -85,8 +85,9 @@ def test_two_process_equivalence(tmp_path):
         pytest.skip("multi-process jax.distributed timed out in this env")
     for p, out in zip(procs, outs):
         if p.returncode != 0:
-            if "distributed" in out.lower() or "collective" in out.lower() or \
-               "gloo" in out.lower() or "UNIMPLEMENTED" in out:
+            # skip ONLY on environment-level init failures, not real bugs
+            if ("jax.distributed.initialize" in out and "Error" in out) or \
+               "UNIMPLEMENTED" in out or "gloo unavailable" in out.lower():
                 pytest.skip(f"jax.distributed CPU unsupported here: {out[-400:]}")
             raise AssertionError(f"worker failed:\n{out}")
     assert all("ok" in o for o in outs)
