@@ -27,6 +27,8 @@ def _add_common(p):
     p.add_argument("--config", type=str, default=None, help="JSON config file")
     p.add_argument("--log-json", action="store_true")
     p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (SURVEY.md §5.2 sanitizers)")
 
 
 def _config_from_args(args, **overrides) -> Config:
@@ -166,6 +168,10 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
     setup_logging(json_lines=args.log_json, verbose=args.verbose)
     _enable_compile_cache()
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     return args.fn(args)
 
 
