@@ -68,9 +68,14 @@ def bench_kernel(reps: int = 10):
     ws = jnp.asarray(rng.integers(0, 20, (N, Lq + B)).astype(np.int32))
     use_pallas = jax.default_backend() == "tpu"
 
+    g0 = jnp.zeros(N, jnp.int32)
+    lo = jnp.zeros(N, jnp.int32)
+    hi = jnp.full(N, 1 << 20, jnp.int32)
+
     @jax.jit
     def fused(qs, ws):
-        sc = sw_xla.banded_scores(qs, ws, mat, B)
+        # the engine's actual chunk step: int8 masked tiles + SW kernel
+        sc = sw_xla.banded_scores_i8(qs, ws, mat, B, g0, lo, hi)
         if use_pallas:
             return sw_pallas.sw_banded_pallas(sc, 11, 1, row_tile=40)
         return sw_xla.sw_banded(sc, 11, 1)

@@ -215,10 +215,11 @@ def align_shard(
     )
     g0f, lof, hif = padflat(g0, 0), padflat(lo, 0), padflat(hi, 0)
     # Row tiling: pad Lq up to a multiple of the kernel row tile (padded
-    # rows get LOW scores — they decay every DP value strictly, so they can
-    # never change the best cell or its tie-break).
+    # rows get masked scores — they decay every DP value strictly, so they
+    # can never change the best cell or its tie-break).
     rtile = Lq if Lq <= 256 else 128
     lq_pad = _round_up(Lq, rtile) - Lq
+    use_i8 = band % 32 == 0  # int8 masked tiles: 1/4 score-tensor traffic
     iota_ib = (
         jnp.arange(Lq, dtype=jnp.int32)[:, None]
         + jnp.arange(band, dtype=jnp.int32)[None, :]
@@ -229,13 +230,18 @@ def align_shard(
         w = jax.vmap(
             lambda s: lax.dynamic_slice(buffer, (s + lead,), (Lq + band,))
         )(g0c)
-        sc = sw_xla.banded_scores(qc, w, matrix, band)
-        j = g0c[:, None, None] + iota_ib[None]
-        inb = (j >= loc[:, None, None]) & (j < hic[:, None, None])
-        sc = jnp.where(inb, sc, LOW)
+        if use_i8:
+            sc = sw_xla.banded_scores_i8(qc, w, matrix, band, g0c, loc, hic)
+            pad_val = sw_xla.MASKED_I8
+        else:
+            sc = sw_xla.banded_scores(qc, w, matrix, band)
+            j = g0c[:, None, None] + iota_ib[None]
+            inb = (j >= loc[:, None, None]) & (j < hic[:, None, None])
+            sc = jnp.where(inb, sc, LOW)
+            pad_val = LOW
         if lq_pad:
             sc = jnp.pad(
-                sc, ((0, 0), (0, lq_pad), (0, 0)), constant_values=LOW
+                sc, ((0, 0), (0, lq_pad), (0, 0)), constant_values=pad_val
             )
         if use_pallas:
             return sw_pallas.sw_banded_pallas(

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ghostm_tpu.kernels.sw_xla import _finalize
+from ghostm_tpu.kernels.sw_xla import MASKED_I8, _finalize
 
 NEG = -(1 << 30)
 LANES = 128
@@ -69,6 +69,7 @@ def _sw_kernel(
     ge: int,
     n_row_tiles: int,
     width: int,
+    is_i8: bool,
 ):
     B = band
     W = width
@@ -87,6 +88,9 @@ def _sw_kernel(
     def row(r, carry):
         H, F, bH, bI = carry
         s = sc_ref[0, r]
+        if is_i8:
+            # int8 masked tile -> int32 (MASKED_I8 means hard-masked cell)
+            s = jnp.where(s == MASKED_I8, NEG, s.astype(jnp.int32))
         # F[b] = max(H[b+1] - go1, F[b+1] - ge): fuse into ONE shift of the
         # pre-maxed operand (shift is linear, max args share the shift).
         Fn = _shift_up1(jnp.maximum(H - go1, F - ge), b_iota, B)
@@ -134,8 +138,15 @@ def sw_banded_pallas(
     Returns:
       (score, i_end, b_end) each (N,) int32, tie-broken per the oracle
       contract (max score, min i, min b; (-1, -1) when score == 0).
+
+    `sc` may be int8 masked tiles (sw_xla.banded_scores_i8): 1/4 the DMA
+    traffic; widened to the identical int32 values in-register.
     """
     N, Lq, B = sc.shape
+    is_i8 = sc.dtype == jnp.int8
+    if is_i8 and B % 32:
+        raise ValueError("int8 score tiles need band % 32 == 0")
+    esize = 1 if is_i8 else 4
     if N % LANES:
         raise ValueError(f"N={N} must be a multiple of {LANES}")
     rtile = min(row_tile, Lq)
@@ -143,7 +154,7 @@ def sw_banded_pallas(
         raise ValueError(f"Lq={Lq} must be a multiple of row_tile={rtile}")
     W = LANES
     while W * 2 <= DEFAULT_WIDTH and N % (W * 2) == 0 and (
-        rtile * B * W * 2 * 4 <= 6 * 1024 * 1024
+        rtile * B * W * 2 * esize <= 6 * 1024 * 1024
     ):
         W *= 2
     G = N // W
@@ -158,6 +169,7 @@ def sw_banded_pallas(
         ge=gap_extend,
         n_row_tiles=RT,
         width=W,
+        is_i8=is_i8,
     )
     bestH, bestI = pl.pallas_call(
         kernel,

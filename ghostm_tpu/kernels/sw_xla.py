@@ -67,6 +67,47 @@ def banded_scores(
     return sc.astype(jnp.int32)
 
 
+MASKED_I8 = -128  # int8 sentinel meaning "hard-masked cell" (widens to NEG)
+
+
+def banded_scores_i8(
+    qcodes: jnp.ndarray,
+    windows: jnp.ndarray,
+    matrix: jnp.ndarray,
+    band: int,
+    g0: jnp.ndarray,    # (N,) window starts (global buffer coords)
+    lo: jnp.ndarray,    # (N,) subject span start (inclusive)
+    hi: jnp.ndarray,    # (N,) subject span end (exclusive)
+) -> jnp.ndarray:
+    """banded_scores + subject-span masking, packed to int8 tiles.
+
+    Cells outside [lo, hi) (sentinels, neighbouring subjects) and cells
+    whose matrix entry is LOW (stop/pad/sentinel residues) become
+    MASKED_I8; everything else is a raw BLOSUM value (|v| <= 11). The SW
+    kernels widen MASKED_I8 back to their -2^30 NEG, so the DP sees
+    BIT-IDENTICAL values to the int32 path — at 1/4 the HBM traffic for
+    the score tensor, which dominates the fused step (docs/DESIGN.md).
+    """
+    Lq = qcodes.shape[1]
+    sc = banded_scores(qcodes, windows, matrix, band)
+    iota_ib = (
+        jnp.arange(Lq, dtype=jnp.int32)[:, None]
+        + jnp.arange(band, dtype=jnp.int32)[None, :]
+    )
+    j = g0[:, None, None] + iota_ib[None]
+    inb = (j >= lo[:, None, None]) & (j < hi[:, None, None])
+    keep = inb & (sc > -100)
+    return jnp.where(keep, jnp.clip(sc, -100, 127), MASKED_I8).astype(jnp.int8)
+
+
+def widen_scores(s):
+    """int8 masked tile -> int32 DP scores (MASKED_I8 -> NEG); int32 passes
+    through unchanged."""
+    if s.dtype == jnp.int8:
+        return jnp.where(s == MASKED_I8, NEG, s.astype(jnp.int32))
+    return s.astype(jnp.int32)
+
+
 def _row_step(go1, ge, bext, cvec, carry, s):
     H, F, bestH, bestI, i = carry
     shl = lambda x: jnp.concatenate(
@@ -108,8 +149,10 @@ def sw_banded(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched banded SW over precomputed scores.
 
-    Args: sc (N, Lq, B) int32. Returns (score, i_end, b_end), each (N,) int32.
+    Args: sc (N, Lq, B) int32 or int8 masked tiles. Returns
+    (score, i_end, b_end), each (N,) int32.
     """
+    sc = widen_scores(sc)
     N, Lq, B = sc.shape
     go1 = jnp.int32(gap_open + gap_extend)
     ge = jnp.int32(gap_extend)

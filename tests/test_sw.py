@@ -157,3 +157,41 @@ def test_traceback_device_matches_numpy(rng):
     got = sw_xla.traceback_stats_device(moves, ie, be, jnp.asarray(qcn), jnp.asarray(wn))
     for k in want:
         np.testing.assert_array_equal(np.asarray(got[k]), want[k], err_msg=k)
+
+
+def test_int8_masked_scores_match_int32(rng):
+    """int8 masked score tiles widen to bit-identical DP results."""
+    Lq, B = 40, 32
+    N = 16
+    qs = np.stack([rng.integers(0, 20, Lq).astype(np.int8) for _ in range(N)])
+    buf = rng.integers(0, 20, 400).astype(np.int8)
+    g0 = rng.integers(0, 200, N).astype(np.int32)
+    lo = (g0 + rng.integers(0, 10, N)).astype(np.int32)
+    hi = (lo + rng.integers(20, 120, N)).astype(np.int32)
+    ws = np.stack([buf[g : g + Lq + B] for g in g0])
+    sc32 = np.asarray(
+        sw_xla.banded_scores(
+            jnp.asarray(qs.astype(np.int32)), jnp.asarray(ws.astype(np.int32)),
+            jnp.asarray(MAT), B,
+        )
+    )
+    iota = np.arange(Lq)[:, None] + np.arange(B)[None, :]
+    j = g0[:, None, None] + iota[None]
+    inb = (j >= lo[:, None, None]) & (j < hi[:, None, None])
+    sc32 = np.where(inb, sc32, sw_xla.NEG)
+    sc8 = sw_xla.banded_scores_i8(
+        jnp.asarray(qs.astype(np.int32)), jnp.asarray(ws.astype(np.int32)),
+        jnp.asarray(MAT), B, jnp.asarray(g0), jnp.asarray(lo), jnp.asarray(hi),
+    )
+    # DP over int8 path == DP over int32 masked path
+    want = sw_xla.sw_banded(jnp.asarray(sc32.astype(np.int32)), GO, GE)
+    got = sw_xla.sw_banded(sc8, GO, GE)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the pallas interpret path agrees
+    gp = sw_pallas.sw_banded_pallas(
+        jnp.asarray(np.tile(np.asarray(sc8), (8, 1, 1))), GO, GE,
+        row_tile=40, interpret=True,
+    )
+    for a, b in zip(gp, want):
+        np.testing.assert_array_equal(np.asarray(a)[:N], np.asarray(b))
