@@ -99,7 +99,7 @@ def bench_kernel(reps: int = 10):
         def kern(x):
             k = functools.partial(
                 sw_pallas._sw_kernel, rtile=Lq, band=B, go1=12, ge=1,
-                n_row_tiles=1, width=W,
+                n_row_tiles=1, width=W, is_i8=False,
             )
             return pl.pallas_call(
                 k, grid=(G, 1),

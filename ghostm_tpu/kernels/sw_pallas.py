@@ -89,8 +89,10 @@ def _sw_kernel(
         H, F, bH, bI = carry
         s = sc_ref[0, r]
         if is_i8:
-            # int8 masked tile -> int32 (MASKED_I8 means hard-masked cell)
-            s = jnp.where(s == MASKED_I8, NEG, s.astype(jnp.int32))
+            # int8 masked tile -> int32 (MASKED_I8 means hard-masked cell);
+            # widen BEFORE comparing — Mosaic lacks int8 vector cmpi.
+            s = s.astype(jnp.int32)
+            s = jnp.where(s == MASKED_I8, NEG, s)
         # F[b] = max(H[b+1] - go1, F[b+1] - ge): fuse into ONE shift of the
         # pre-maxed operand (shift is linear, max args share the shift).
         Fn = _shift_up1(jnp.maximum(H - go1, F - ge), b_iota, B)
