@@ -55,27 +55,32 @@ class SeedIndex:
 
 def kmer_keys(buf: np.ndarray, k: int) -> np.ndarray:
     """(len(buf) - k + 1,) int32 keys; invalid windows (any code >= 20) get
-    key == 20**k (the empty overflow bucket)."""
-    buf = np.asarray(buf, dtype=np.int64)
+    key == 20**k (the empty overflow bucket). int32 arithmetic throughout
+    (20**5 < 2**31); int64 numpy ops are ~3x slower on the build host."""
+    buf = np.asarray(buf)
+    if buf.dtype != np.int8:
+        buf = buf.astype(np.int8)
     n = len(buf) - k + 1
     if n <= 0:
         return np.zeros((0,), dtype=np.int32)
-    keys = np.zeros(n, dtype=np.int64)
+    keys = np.zeros(n, dtype=np.int32)
     valid = np.ones(n, dtype=bool)
     for t in range(k):
         c = buf[t : t + n]
-        keys = keys * NUM_SEED_AA + np.clip(c, 0, NUM_SEED_AA - 1)
+        keys *= NUM_SEED_AA
+        keys += np.minimum(np.maximum(c, 0), NUM_SEED_AA - 1).astype(np.int32)
         valid &= c < NUM_SEED_AA
     keys[~valid] = NUM_SEED_AA**k
-    return keys.astype(np.int32)
+    return keys
 
 
 def _mix(x: np.ndarray) -> np.ndarray:
-    """Deterministic 32-bit integer hash (splitmix-style avalanche)."""
-    x = x.astype(np.uint64)
-    x = (x ^ (x >> 16)) * np.uint64(0x45D9F3B)
-    x = (x ^ (x >> 16)) * np.uint64(0x45D9F3B)
-    return (x ^ (x >> 16)) & np.uint64(0xFFFFFFFF)
+    """Deterministic 32-bit integer hash (splitmix-style avalanche);
+    uint32 wrap-around arithmetic (uint64 numpy is much slower)."""
+    x = x.astype(np.uint32)
+    x = (x ^ (x >> np.uint32(16))) * np.uint32(0x45D9F3B)
+    x = (x ^ (x >> np.uint32(16))) * np.uint32(0x45D9F3B)
+    return x ^ (x >> np.uint32(16))
 
 
 def global_bucket_truncation(
@@ -96,30 +101,59 @@ def global_bucket_truncation(
     Returns:
       per-subject bool arrays, len == max(len(seq)-k+1, 0): keep flags.
     """
-    per_keys = [kmer_keys(s, k) for s in seqs]
-    if not per_keys:
+    if not seqs:
         return []
-    all_keys = np.concatenate(per_keys)
     nb = NUM_SEED_AA**k
-    lens = np.array([len(pk) for pk in per_keys], dtype=np.int64)
-    gsid = np.repeat(np.arange(len(per_keys), dtype=np.int64), lens)
-    offset = np.arange(len(all_keys), dtype=np.int64) - np.repeat(
-        np.cumsum(lens) - lens, lens
-    )
-    prio = _mix(gsid * np.uint64(1_000_003) + offset.astype(np.uint64))
-    order = np.lexsort((offset, gsid, prio, all_keys))  # primary: key, then hash
-    sorted_keys = all_keys[order]
+    # One vectorised pass: concatenate with k-1 invalid separators so k-mer
+    # windows never cross records (per-record python loops cost minutes at
+    # 570k-record scale).
+    lens = np.array([len(s) for s in seqs], dtype=np.int64)
+    sep = k - 1
+    tot = int(lens.sum()) + sep * len(seqs)
+    cat = np.full(tot, NUM_SEED_AA, dtype=np.int8)  # invalid filler
+    starts = np.cumsum(lens + sep) - (lens + sep)
+    idx = starts.repeat(lens) + _ragged_arange(lens)
+    cat[idx] = np.concatenate([np.asarray(s, np.int8) for s in seqs]) \
+        if len(seqs) > 1 else np.asarray(seqs[0], np.int8)
+    all_keys = kmer_keys(cat, k) if len(cat) >= k else np.zeros(0, np.int32)
+    klens = np.maximum(lens - k + 1, 0)
+    key_idx = starts.repeat(klens) + _ragged_arange(klens)
+    rec_keys = all_keys[key_idx]                      # per-record valid rows
+    gsid = np.repeat(np.arange(len(seqs), dtype=np.int64), klens)
+    offset = _ragged_arange(klens)
+    prio = _mix(gsid.astype(np.uint32) * np.uint32(1_000_003)
+                + offset.astype(np.uint32))
+    # Stable sort on packed (key, hash): ties fall back to enumeration
+    # order == (gsid, offset) order — deterministic and layout-invariant.
+    packed = (rec_keys.astype(np.int64) << 32) | prio.astype(np.int64)
+    order = np.argsort(packed, kind="stable")
+    sorted_keys = rec_keys[order]
     bucket_starts = np.searchsorted(sorted_keys, np.arange(nb + 1))
-    rank = np.empty(len(all_keys), dtype=np.int64)
-    rank[order] = np.arange(len(all_keys)) - bucket_starts[
+    rank = np.empty(len(rec_keys), dtype=np.int64)
+    rank[order] = np.arange(len(rec_keys)) - bucket_starts[
         np.clip(sorted_keys, 0, nb)
     ]
-    keep = (rank < cap) & (all_keys < nb)
+    keep = (rank < cap) & (rec_keys < nb)
     out, off = [], 0
-    for pk in per_keys:
-        out.append(keep[off : off + len(pk)])
-        off += len(pk)
+    for n in klens:
+        out.append(keep[off : off + n])
+        off += int(n)
     return out
+
+
+def _ragged_arange(lens: np.ndarray) -> np.ndarray:
+    """concatenate([arange(l) for l in lens]) without the python loop."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    out = np.ones(total, dtype=np.int64)
+    ends = np.cumsum(lens)
+    starts_at = ends - lens
+    out[0] = 0
+    nz = lens > 0
+    first_idx = starts_at[nz]
+    out[first_idx[1:]] = 1 - lens[nz][:-1]
+    return np.cumsum(out)
 
 
 def build_seed_index(buf: np.ndarray, k: int, keep: np.ndarray | None = None) -> SeedIndex:
