@@ -101,12 +101,21 @@ def propose_shard(
     min_votes: int,
     smooth: bool = False,
     nbins: int = 1 << 20,
+    use_sort_kernel: bool = False,
+    fuse_tables: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(Q, ncand) proposals (gsid, lbin, votes) for this shard.
 
     Chunked over query frames so the expanded hit tensor (Q, Lq, expand)
     stays bounded (~64 MB) even with the large per-seed expansions that
-    realistic DB scales need (seed_len 4-5, caps 64-256)."""
+    realistic DB scales need (seed_len 4-5, caps 64-256).
+
+    With fuse_tables (engine sets it whenever the packed value range fits
+    int32), the per-hit vote key comes from ONE table gather instead of
+    two: t[j] = rowbase[j]*half + localoff[j] + Lq, and
+    (t[j] - qpos) // half == rowbase[j] + (localoff[j] - qpos + Lq) // half
+    exactly (rowbase*half is divisible by half) — random gathers are the
+    propose phase's main cost after the sort-kernel switch."""
     Qf, Lq = qflat.shape
     qi = qflat.astype(jnp.int32)
     per_frame = Lq * expand * 4
@@ -118,6 +127,7 @@ def propose_shard(
 
     half = band // 2
     qpos = jnp.arange(Lq, dtype=jnp.int32)[None, :, None]
+    ptab = rowbase * half + localoff + Lq if fuse_tables else None
 
     def chunk_fn(qc):
         kmers = seed_lookup.query_kmer_keys(qc, seed_len)
@@ -126,11 +136,14 @@ def propose_shard(
         offs = jnp.arange(expand, dtype=jnp.int32)
         idx = jnp.clip(start[..., None] + offs, 0, rowbase.shape[0] - 1)
         valid = offs < count[..., None]
-        lbin = (localoff[idx] - qpos + Lq) // half
-        keys = jnp.where(valid, rowbase[idx] + lbin, cand_mod.BIG)
+        if fuse_tables:
+            keys = jnp.where(valid, (ptab[idx] - qpos) // half, cand_mod.BIG)
+        else:
+            lbin = (localoff[idx] - qpos + Lq) // half
+            keys = jnp.where(valid, rowbase[idx] + lbin, cand_mod.BIG)
         return cand_mod.vote_and_rank.__wrapped__(
             keys.reshape(qc.shape[0], Lq * expand), subject_ids,
-            ncand, min_votes, smooth, nbins,
+            ncand, min_votes, smooth, nbins, use_sort_kernel,
         )
 
     g, b, v = lax.map(chunk_fn, qi_p.reshape(qpad // qchunk, qchunk, Lq))
@@ -288,7 +301,7 @@ def rank_reads(score, gsid, frame, qend, s_end, bend, g0, srow, shard, topk):
 propose_shard_jit = functools.partial(
     jax.jit,
     static_argnames=("seed_len", "expand", "band", "ncand", "min_votes",
-                     "smooth", "nbins"),
+                     "smooth", "nbins", "use_sort_kernel", "fuse_tables"),
 )(propose_shard)
 
 align_shard_jit = functools.partial(
@@ -346,6 +359,7 @@ class SearchEngine:
             smooth=cfg.smooth_bins,
             nbins=int(index.lengths.max() + cfg.query_frame_len)
             // (cfg.band_width // 2) + 2,
+            use_sort_kernel=use_pallas,
         )
         self._nbins = self._propose_static["nbins"]
         self._align_static = dict(
@@ -356,10 +370,20 @@ class SearchEngine:
             use_pallas=use_pallas,
             lead=self.lead,
         )
+        half = cfg.band_width // 2
+        Lqf = cfg.query_frame_len
+
+        def _fits(rb, lo):
+            if rb.size == 0:
+                return True
+            return int(rb.max()) * half + int(lo.max()) + Lqf < (1 << 31)
+
         if mesh is None:
             self.shard_dev: List[dict] = []
+            fuse = True
             for i in range(self.n_shards):
                 rb, lo = seed_key_tables(index, i, self._nbins)
+                fuse &= _fits(rb, lo)
                 self.shard_dev.append(
                     dict(
                         buffer=jnp.asarray(pad_buffer(index.buffers[i], cfg)),
@@ -371,6 +395,7 @@ class SearchEngine:
                         localoff=jnp.asarray(lo),
                     )
                 )
+            self._propose_static["fuse_tables"] = fuse
         else:
             from ghostm_tpu.parallel import mesh as pm
             from ghostm_tpu.parallel.search import make_distributed_step
@@ -389,6 +414,9 @@ class SearchEngine:
                 [pad_buffer(index.buffers[i], cfg) for i in range(n_db)]
             )
             maps = [seed_key_tables(index, i, self._nbins) for i in range(n_db)]
+            self._propose_static["fuse_tables"] = all(
+                _fits(m[0], m[1]) for m in maps
+            )
             self.shard_dev = [
                 dict(
                     buffer=put(buffers),

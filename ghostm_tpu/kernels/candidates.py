@@ -32,12 +32,12 @@ from jax import lax
 BIG = jnp.int32(1 << 30)
 
 
-def _per_query(keys: jnp.ndarray, nbins: int, ncand: int, min_votes: int,
+def _per_query(k: jnp.ndarray, nbins: int, ncand: int, min_votes: int,
                smooth: bool):
-    """keys: (M,) int32 packed (row * nbins + bin) hit keys (invalid = BIG).
-    Returns (key (ncand,), votes (ncand,)) by (votes desc, key asc)."""
-    M = keys.shape[0]
-    k = jnp.sort(keys)
+    """k: (M,) int32 packed (row * nbins + bin) hit keys, SORTED ascending
+    (invalid = BIG, at the tail). Returns (key (ncand,), votes (ncand,)) by
+    (votes desc, key asc)."""
+    M = k.shape[0]
     valid = k < BIG
     first = jnp.concatenate([valid[:1], (k[1:] != k[:-1]) & valid[1:]])
     idx = jnp.arange(M, dtype=jnp.int32)
@@ -58,15 +58,30 @@ def _per_query(keys: jnp.ndarray, nbins: int, ncand: int, min_votes: int,
         add_p = jnp.where((k[prv] == k - 1) & (b > 0), votes[prv], 0)
         votes = votes + jnp.where(first, add_n + add_p, 0)
     votes = jnp.where(votes >= min_votes, votes, 0)
-    # top_k keeps the first index on ties -> (votes desc, key asc) exactly.
-    top_votes, top_idx = lax.top_k(votes, ncand)
-    top_keys = jnp.where(top_votes > 0, k[top_idx], BIG)
-    return top_keys, top_votes
+    # Iterative packed argmax instead of lax.top_k: top_k lowers to a full
+    # variadic sort on TPU (~75 ms/chunk); ncand max-reductions cost ~1 ms.
+    # pack = (votes, M-1-idx): max() picks (votes desc, idx asc), exactly
+    # top_k's first-index-on-ties contract. Run starts are key-ascending in
+    # idx, so idx-asc == key-asc.
+    shift = M.bit_length()
+    if 2 * shift > 31:
+        raise ValueError(f"M={M} too large for packed argmax ranking")
+    pk = (votes << shift) | (M - 1 - idx)
+    top_keys, top_votes = [], []
+    for _ in range(ncand):
+        m = jnp.max(pk)
+        v = m >> shift
+        i = (M - 1) - (m & ((1 << shift) - 1))
+        top_votes.append(v)
+        top_keys.append(jnp.where(v > 0, k[i], BIG))
+        pk = jnp.where(idx == i, 0, pk)
+    return jnp.stack(top_keys), jnp.stack(top_votes)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ncand", "min_votes", "smooth", "nbins"),
+    static_argnames=("ncand", "min_votes", "smooth", "nbins",
+                     "use_sort_kernel"),
 )
 def vote_and_rank(
     keys: jnp.ndarray,        # (Q, M) int32 packed (row*nbins + bin) hit
@@ -76,12 +91,17 @@ def vote_and_rank(
     min_votes: int,
     smooth: bool = False,
     nbins: int = 1 << 20,
+    use_sort_kernel: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Vote packed (subject-row, local-diagonal-bin) cells; return this
     shard's top-N proposals per query frame: (gsid, lbin, votes), each
     (Q, ncand) int32. The caller builds `keys` with direct gathers from
     position-parallel key tables (engine.propose_shard) — no searchsorted,
     no per-hit position gather (TPU gathers are the enemy, SURVEY.md §7.2).
+
+    The row sort dominates: with use_sort_kernel (TPU) it runs on the
+    Pallas bitonic network (kernels/sort.py) instead of XLA's sort —
+    bit-identical output (integer sort is unique), ~15x faster.
     """
     Q, M = keys.shape
     S = subject_ids.shape[0]
@@ -90,11 +110,16 @@ def vote_and_rank(
             f"packed vote keys overflow int32: {S} subjects x {nbins} bins; "
             "use more shards or a wider band"
         )
+    if use_sort_kernel:
+        from ghostm_tpu.kernels.sort import sort_rows
+        sorted_keys = sort_rows(keys)
+    else:
+        sorted_keys = jnp.sort(keys, axis=1)
     fn = functools.partial(
         _per_query, nbins=nbins, ncand=ncand,
         min_votes=max(min_votes, 1), smooth=smooth,
     )
-    top_keys, votes = jax.vmap(fn)(keys)
+    top_keys, votes = jax.vmap(fn)(sorted_keys)
     top_row = jnp.clip(top_keys // nbins, 0, S - 1)
     gsid = jnp.where(votes > 0, subject_ids[top_row], BIG)
     lbin = jnp.where(votes > 0, top_keys % nbins, BIG)

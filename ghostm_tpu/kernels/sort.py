@@ -1,0 +1,111 @@
+"""Pallas bitonic row sort — the propose phase's workhorse.
+
+Reference equivalent: GHOSTM's CUDA candidate search accumulates
+(subject, diagonal) votes with atomic increments (SURVEY.md §2 "Diagonal
+voting"); our scatter-free redesign votes by SORTING each query frame's
+packed hit keys and run-length-counting (kernels/candidates.py). That
+makes the row sort the propose phase's hot loop — and XLA's general
+`lax.sort` on TPU is an order of magnitude off what the VPU can do for
+a plain int32 ascending sort (measured: >1 s for 24576x2560 keys, vs
+tens of ms for this kernel).
+
+TPU-native design:
+  * one kernel block = (ROWS, L) int32 in VMEM, L a power of two; each
+    row is an independent bitonic sorting network, all rows advance in
+    lockstep as full-width vector ops (no comparator function, no
+    variadic operands — min/max/select only);
+  * the butterfly exchange partner (i XOR d) is built from two
+    `pltpu.roll`s along the minor axis plus an iota-bit select, so every
+    pass is ~10 elementwise VPU ops;
+  * the network runs as ONE fori_loop over its passes (stages
+    k = 1..log2(L), strides d = 2^(k-1)..1 — L=4096 gives 78 passes)
+    with the (k, j) schedule in SMEM and dynamic-shift rolls, so the
+    compiled kernel stays small (a statically unrolled network at these
+    sizes explodes Mosaic compile time). Rows that are pure padding sort
+    harmlessly.
+
+Caller contract: pad keys with INT32_MAX-class sentinels (our BIG =
+2^30 sorts before the pad value below), slice [:, :M] afterwards.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PAD = jnp.int32(0x7FFFFFFF)
+_LANES = 128
+
+
+def _sort_kernel(ks_ref, js_ref, x_ref, o_ref, *, rows: int, length: int):
+    L = length
+    iota = jax.lax.broadcasted_iota(jnp.int32, (rows, L), 1)
+    npass = ks_ref.shape[0]
+
+    def one_pass(p, v):
+        k = ks_ref[p]
+        j = js_ref[p]
+        d = jnp.int32(1) << j
+        # run direction: ascending iff bit k of the index is 0
+        dirbit = (iota >> k) & 1
+        bit = (iota >> j) & 1
+        take_max = bit ^ dirbit
+        partner = jnp.where(
+            bit == 1,
+            pltpu.roll(v, d, axis=1),
+            pltpu.roll(v, L - d, axis=1),
+        )
+        lo = jnp.minimum(v, partner)
+        hi = jnp.maximum(v, partner)
+        return jnp.where(take_max == 1, hi, lo)
+
+    o_ref[:] = jax.lax.fori_loop(0, npass, one_pass, x_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def sort_rows(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """Ascending sort of each row of an (Q, M) int32 array.
+
+    Bit-identical to jnp.sort(x, axis=1) (integer sort is unique), at VPU
+    rather than XLA-sort speed. Q is padded to the block row count and M
+    to the next power of two internally.
+    """
+    Q, M = x.shape
+    L = 1 << max(M - 1, 1).bit_length()
+    if L < _LANES:
+        L = _LANES
+    # block rows: keep the block <= 1 MB (Mosaic scoped-vmem accounting
+    # charges in+out, their grid double-buffers, and the loop carry)
+    rows = max(8, min(256, (1 << 20) // (L * 4) // 8 * 8))
+    Qp = -(-Q // rows) * rows
+    xp = jnp.full((Qp, L), PAD, jnp.int32)
+    xp = jax.lax.dynamic_update_slice(xp, x.astype(jnp.int32), (0, 0))
+    nstage = L.bit_length() - 1
+    sched = np.array(
+        [(k, j) for k in range(1, nstage + 1) for j in range(k - 1, -1, -1)],
+        dtype=np.int32,
+    )
+    ks, js = jnp.asarray(sched[:, 0]), jnp.asarray(sched[:, 1])
+    out = pl.pallas_call(
+        functools.partial(_sort_kernel, rows=rows, length=L),
+        grid=(Qp // rows,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((rows, L), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (rows, L), lambda g: (g, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Qp, L), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(ks, js, xp)
+    return out[:Q, :M]

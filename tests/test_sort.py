@@ -1,0 +1,58 @@
+"""Pallas bitonic row sort vs np.sort, and vote ranking equivalence
+(SURVEY.md §4.2 "Kernel" row — interpret mode on CPU, compiled on TPU)."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax
+
+from ghostm_tpu.kernels import candidates as cand
+from ghostm_tpu.kernels.sort import sort_rows
+
+
+@pytest.mark.parametrize(
+    "q,m", [(8, 128), (16, 100), (64, 2560), (5, 7), (128, 1)]
+)
+def test_sort_rows_matches_np(rng, q, m):
+    x = rng.integers(-(1 << 30), 1 << 30, (q, m)).astype(np.int32)
+    got = np.asarray(sort_rows(jnp.asarray(x), interpret=True))
+    assert np.array_equal(got, np.sort(x, axis=1))
+
+
+def test_sort_rows_with_big_padding(rng):
+    # the vote path pads invalid hits with BIG; they must sort to the tail
+    x = rng.integers(0, 1 << 20, (32, 300)).astype(np.int32)
+    x[rng.random((32, 300)) < 0.5] = int(cand.BIG)
+    got = np.asarray(sort_rows(jnp.asarray(x), interpret=True))
+    assert np.array_equal(got, np.sort(x, axis=1))
+
+
+def test_vote_and_rank_matches_topk_reference(rng):
+    """The packed-argmax ranking must reproduce lax.top_k's exact
+    (votes desc, first-index) contract, including tie handling."""
+    Q, M, nbins, ncand = 16, 96, 64, 4
+    # small key space forces many duplicate keys (= real votes) and ties
+    keys = rng.integers(0, 12 * nbins, (Q, M)).astype(np.int32)
+    keys[rng.random((Q, M)) < 0.3] = int(cand.BIG)
+    sid = jnp.asarray(np.arange(64, dtype=np.int32))
+    g, b, v = cand.vote_and_rank(
+        jnp.asarray(keys), sid, ncand, 1, False, nbins
+    )
+    # reference: count votes per key with numpy, rank by (votes desc, key)
+    for qi in range(Q):
+        kk = keys[qi][keys[qi] < int(cand.BIG)]
+        uniq, cnt = np.unique(kk, return_counts=True)
+        order = np.lexsort((uniq, -cnt))
+        want = uniq[order][:ncand]
+        wantv = cnt[order][:ncand]
+        gsid = np.asarray(g[qi])
+        lbin = np.asarray(b[qi])
+        votes = np.asarray(v[qi])
+        n = min(ncand, len(want))
+        for c in range(n):
+            assert votes[c] == wantv[c]
+            assert gsid[c] == want[c] // nbins
+            assert lbin[c] == want[c] % nbins
+        for c in range(len(want), ncand):
+            assert votes[c] == 0
