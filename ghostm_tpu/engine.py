@@ -57,9 +57,18 @@ def lead_pad(cfg: Config) -> int:
 
 
 def pad_buffer(buf: np.ndarray, cfg: Config) -> np.ndarray:
+    """Sentinel-pad the shard buffer. Invariants the align phase relies on:
+    total length is a multiple of 128 (the buffer is viewed as (M, 128)
+    rows for the aligned window row-gather) and the tail pad is >= 256
+    bytes past any valid window start (so the two-row gather never
+    clamps for an owned candidate)."""
     lead = lead_pad(cfg)
-    tail = lead + 128
-    return np.pad(buf, (lead, tail), constant_values=SENTINEL)
+    tail = lead + 256
+    out = np.pad(buf, (lead, tail), constant_values=SENTINEL)
+    extra = (-len(out)) % 128
+    if extra:
+        out = np.pad(out, (0, extra), constant_values=SENTINEL)
+    return out
 
 
 def seed_key_tables(index: StackedIndex, shard: int, nbins: int):
@@ -127,18 +136,44 @@ def propose_shard(
 
     half = band // 2
     qpos = jnp.arange(Lq, dtype=jnp.int32)[None, :, None]
-    ptab = rowbase * half + localoff + Lq if fuse_tables else None
+    # Row-gather layout for the packed table: bucket runs are contiguous,
+    # so fetch whole WIDTH-aligned rows (8x faster than an elementwise
+    # gather of the same cells on TPU) and rotate each run into place with
+    # log2(WIDTH) conditional binary shifts — bit-identical keys.
+    WIDTH = 64
+    nrows = -(-expand // WIDTH) + 1
+    if fuse_tables:
+        ptab = rowbase * half + localoff + Lq
+        pad = (-ptab.shape[0]) % WIDTH + nrows * WIDTH
+        ptab2 = jnp.concatenate(
+            [ptab, jnp.zeros(pad, jnp.int32)]
+        ).reshape(-1, WIDTH)
+    else:
+        ptab2 = None
 
     def chunk_fn(qc):
         kmers = seed_lookup.query_kmer_keys(qc, seed_len)
         start = bucket_starts[kmers]
         count = bucket_starts[kmers + 1] - start
         offs = jnp.arange(expand, dtype=jnp.int32)
-        idx = jnp.clip(start[..., None] + offs, 0, rowbase.shape[0] - 1)
         valid = offs < count[..., None]
         if fuse_tables:
-            keys = jnp.where(valid, (ptab[idx] - qpos) // half, cand_mod.BIG)
+            gl = start.reshape(-1)  # starts are always in-range (CSR)
+            r = gl // WIDTH
+            o = gl - r * WIDTH
+            w2 = jnp.concatenate([ptab2[r + i] for i in range(nrows)], axis=1)
+            d = WIDTH // 2
+            while d >= 1:
+                w2 = jnp.where(
+                    (o[:, None] & d) != 0, jnp.roll(w2, -d, axis=1), w2
+                )
+                d //= 2
+            tg = w2[:, :expand].reshape(qc.shape[0], Lq, expand)
+            keys = jnp.where(valid, (tg - qpos) // half, cand_mod.BIG)
         else:
+            idx = jnp.clip(
+                start[..., None] + offs, 0, rowbase.shape[0] - 1
+            )
             lbin = (localoff[idx] - qpos + Lq) // half
             keys = jnp.where(valid, rowbase[idx] + lbin, cand_mod.BIG)
         return cand_mod.vote_and_rank.__wrapped__(
@@ -146,13 +181,13 @@ def propose_shard(
             ncand, min_votes, smooth, nbins, use_sort_kernel,
         )
 
-    g, b, v = lax.map(chunk_fn, qi_p.reshape(qpad // qchunk, qchunk, Lq))
-    ncols = g.shape[-1]
-    return (
-        g.reshape(qpad, ncols)[:Qf],
-        b.reshape(qpad, ncols)[:Qf],
-        v.reshape(qpad, ncols)[:Qf],
-    )
+    # Python-unrolled chunk loop: gathers inside a lax.map/scan body run
+    # ~12x slower on TPU than the same gather at top level (measured;
+    # XLA's while-loop lowering pessimizes them), and batches keep the
+    # chunk count small.
+    outs = [chunk_fn(c) for c in qi_p.reshape(qpad // qchunk, qchunk, Lq)]
+    g, b, v = (jnp.concatenate(x, axis=0) for x in zip(*outs))
+    return g[:Qf], b[:Qf], v[:Qf]
 
 
 @functools.partial(
@@ -238,11 +273,26 @@ def align_shard(
         + jnp.arange(band, dtype=jnp.int32)[None, :]
     )
 
+    # Window fetch, TPU-native: per-alignment slice gathers (vmapped
+    # dynamic_slice) measure ~60 ms and elementwise gathers ~35 ms for a
+    # 4096-read batch, but gathering whole 128-lane-aligned ROWS is ~6 ms
+    # — so fetch the two aligned rows covering each window and rotate by
+    # (start % 128) with 7 conditional binary shifts (pure vector ops).
+    # pad_buffer guarantees len % 128 == 0 and >= 256 bytes of tail pad.
+    M2 = buffer.shape[0] // 128
+    b2 = buffer.reshape(M2, 128)
+    nrows = (Lq + band + 127) // 128 + 1  # covers window + max rotation
+    gl = jnp.clip(g0f + lead, 0, (M2 - nrows) * 128)
+    r = gl // 128
+    o = gl - r * 128
+    w2 = jnp.concatenate([b2[r + i] for i in range(nrows)], axis=1)
+    for _k in range(6, -1, -1):
+        _d = 1 << _k
+        w2 = jnp.where((o[:, None] & _d) != 0, jnp.roll(w2, -_d, axis=1), w2)
+    w_all = w2[:, : Lq + band]
+
     def chunk_fn(args):
-        qc, g0c, loc, hic = args
-        w = jax.vmap(
-            lambda s: lax.dynamic_slice(buffer, (s + lead,), (Lq + band,))
-        )(g0c)
+        qc, w, g0c, loc, hic = args
         if use_i8:
             sc = sw_xla.banded_scores_i8(qc, w, matrix, band, g0c, loc, hic)
             pad_val = sw_xla.MASKED_I8
@@ -267,6 +317,7 @@ def align_shard(
         chunk_fn,
         (
             qrep.reshape(nchunks, chunk, Lq),
+            w_all.reshape(nchunks, chunk, Lq + band),
             g0f.reshape(nchunks, chunk),
             lof.reshape(nchunks, chunk),
             hif.reshape(nchunks, chunk),
@@ -309,6 +360,42 @@ align_shard_jit = functools.partial(
     static_argnames=("band", "gap_open", "gap_extend", "chunk", "use_pallas",
                      "lead"),
 )(align_shard)
+
+
+@functools.partial(jax.jit, static_argnames=("ncand",))
+def _select_jit(pg, pb, pv, ncand):
+    """Global candidate selection on device (votes desc, gsid, lbin)."""
+    sel_g, sel_b, sel_v = cand_mod.select_global(pg, pb, pv, ncand)
+    return (
+        jnp.where(sel_v > 0, sel_g, BIG),
+        jnp.where(sel_v > 0, sel_b, BIG),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("R", "K"))
+def _merge_rank_jit(stacked, sel_g, R, K):
+    """Disjoint-mask merge of per-shard align outputs + per-read top-k,
+    on device; returns ONE packed (9, R, K) int32 array (single fetch)."""
+    score, qend, bend, s_end, g0, srow, owned = stacked  # each (S, Qf, C)
+    live = owned & (score > 0)
+    S = score.shape[0]
+    sid = jnp.arange(S, dtype=jnp.int32)[:, None, None]
+    m = lambda f: jnp.sum(jnp.where(live, f, 0), axis=0)
+    score_m = jnp.sum(score, axis=0)  # align_shard zeroes unowned scores
+    qend_m, bend_m, s_end_m = m(qend), m(bend), m(s_end)
+    g0_m, srow_m = m(g0), m(srow)
+    shard_m = jnp.sum(jnp.where(live, sid, 0), axis=0)
+    C = score_m.shape[1]
+    M = NFRAMES * C
+    rs = lambda a: a.reshape(R, M)
+    frame = jnp.tile(
+        jnp.repeat(jnp.arange(NFRAMES, dtype=jnp.int32), C)[None, :], (R, 1)
+    )
+    gsid = jnp.where(score_m > 0, sel_g, BIG).reshape(R, M)
+    return jnp.stack(rank_reads(
+        rs(score_m), gsid, frame, rs(qend_m), rs(s_end_m), rs(bend_m),
+        rs(g0_m), rs(srow_m), rs(shard_m), K,
+    ))
 
 
 @dataclasses.dataclass
@@ -459,70 +546,33 @@ class SearchEngine:
                 **{k: out[k] for k in BatchHits.__dataclass_fields__}
             )
 
+        # Device-resident loop path: propose -> select -> align -> rank all
+        # stay on device; ONE packed fetch at the end. The tunnel backend
+        # charges ~30 ms per host fetch, so the old per-phase numpy merge
+        # cost ~10 fetches/batch; outputs are bit-identical (same ops,
+        # same deterministic sort keys as the mesh path).
         qflat = jnp.asarray(qflat_np)
-        # Phase 1: proposals from every shard
         props = []
         for d in self.shard_dev:
-            g, b, v = propose_shard_jit(
+            props.append(propose_shard_jit(
                 qflat, d["bucket_starts"], d["rowbase"],
                 d["localoff"], d["subject_ids"], **self._propose_static,
-            )
-            props.append((np.asarray(g), np.asarray(b), np.asarray(v)))
-        pg = np.concatenate([p[0] for p in props], axis=1)
-        pb = np.concatenate([p[1] for p in props], axis=1)
-        pv = np.concatenate([p[2] for p in props], axis=1)
-        # Phase 2: deterministic global selection (votes desc, gsid, lbin)
-        order = np.lexsort((pb, pg, -pv), axis=1)[:, :C]
-        take = lambda a: np.take_along_axis(a, order, axis=1)
-        sel_g, sel_b, sel_v = take(pg), take(pb), take(pv)
-        sel_g = np.where(sel_v > 0, sel_g, BIG).astype(np.int32)
-        sel_b = np.where(sel_v > 0, sel_b, BIG).astype(np.int32)
-        sel_gj, sel_bj = jnp.asarray(sel_g), jnp.asarray(sel_b)
-        # Phase 3: align on each shard; disjoint-mask merge on host
-        acc = None
-        for si, d in enumerate(self.shard_dev):
-            score, qend, bend, s_end, g0, srow, owned = [
-                np.asarray(x)
-                for x in align_shard_jit(
-                    qflat, d["buffer"], d["starts"], d["subject_ids"],
-                    d["lengths"], self.matrix, sel_gj, sel_bj,
-                    **self._align_static,
-                )
-            ]
-            live = owned & (score > 0)
-            fields = (
-                score,
-                np.where(live, qend, 0),
-                np.where(live, bend, 0),
-                np.where(live, s_end, 0),
-                np.where(live, g0, 0),
-                np.where(live, srow, 0),
-                np.where(live, si, 0),
-            )
-            if acc is None:
-                acc = list(fields)
-            else:
-                acc = [a + f for a, f in zip(acc, fields)]
-        score, qend, bend, s_end, g0, srow, shard = acc
-        # per-read table: (R, 6*C)
-        M = NFRAMES * C
-        rs = lambda a: np.ascontiguousarray(a.reshape(R, M))
-        frame = np.tile(
-            np.repeat(np.arange(NFRAMES, dtype=np.int32), C)[None, :], (R, 1)
-        )
-        gsid = np.where(score > 0, sel_g, BIG).reshape(R, M)
-        score, qend, bend, s_end, g0, srow, shard = map(
-            rs, (score, qend, bend, s_end, g0, srow, shard)
-        )
-        order = np.lexsort(
-            (s_end, qend, frame, gsid, -score), axis=1
-        )[:, :K]
-        take = lambda a: np.take_along_axis(a, order, axis=1)
-        return BatchHits(
-            score=take(score), gsid=take(gsid), frame=take(frame),
-            qend=take(qend), s_end=take(s_end), bend=take(bend),
-            g0=take(g0), srow=take(srow), shard=take(shard),
-        )
+            ))
+        pg = jnp.concatenate([p[0] for p in props], axis=1)
+        pb = jnp.concatenate([p[1] for p in props], axis=1)
+        pv = jnp.concatenate([p[2] for p in props], axis=1)
+        sel_g, sel_b = _select_jit(pg, pb, pv, C)
+        outs = []
+        for d in self.shard_dev:
+            outs.append(align_shard_jit(
+                qflat, d["buffer"], d["starts"], d["subject_ids"],
+                d["lengths"], self.matrix, sel_g, sel_b,
+                **self._align_static,
+            ))
+        stacked = [jnp.stack(x) for x in zip(*outs)]
+        packed = _merge_rank_jit(stacked, sel_g, R, K)
+        out = np.asarray(packed)
+        return BatchHits(*(out[i] for i in range(9)))
 
     # ------------------------------------------------------------------
     def refine(self, qcodes: np.ndarray, hits: BatchHits) -> Dict[str, np.ndarray]:
