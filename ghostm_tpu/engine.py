@@ -36,7 +36,7 @@ from jax import lax
 from ghostm_tpu.config import Config
 from ghostm_tpu.index.diskio import StackedIndex
 from ghostm_tpu.kernels import candidates as cand_mod
-from ghostm_tpu.kernels import seed_lookup, sw_pallas, sw_xla
+from ghostm_tpu.kernels import seed_lookup, sw_pallas, sw_wave, sw_xla
 from ghostm_tpu.ops.encode import SENTINEL
 from ghostm_tpu.ops.scoring import LOW, padded_matrix
 from ghostm_tpu.ops.translate import six_frame_translate
@@ -266,6 +266,11 @@ def align_shard(
     # rows get masked scores — they decay every DP value strictly, so they
     # can never change the best cell or its tie-break).
     rtile = Lq if Lq <= 256 else 128
+    use_wave = (
+        use_pallas and Lq >= 64 and band >= 16 and band % 2 == 0
+        # conservative bound on sw_wave's internal packing check
+        and 15 * Lq < (1 << (31 - (Lq + 2 * band).bit_length()))
+    )
     lq_pad = _round_up(Lq, rtile) - Lq
     use_i8 = band % 32 == 0  # int8 masked tiles: 1/4 score-tensor traffic
     iota_ib = (
@@ -302,6 +307,11 @@ def align_shard(
             inb = (j >= loc[:, None, None]) & (j < hic[:, None, None])
             sc = jnp.where(inb, sc, LOW)
             pad_val = LOW
+        if use_wave:
+            # wavefront kernel: ~1.5x the row kernel's DP throughput; its
+            # fixed skew cost (B/2-1 extra slabs) amortizes for longer
+            # frames, so it is the long-frame/long-read kernel
+            return sw_wave.sw_banded_wave(sc, gap_open, gap_extend)
         if lq_pad:
             sc = jnp.pad(
                 sc, ((0, 0), (0, lq_pad), (0, 0)), constant_values=pad_val

@@ -195,3 +195,53 @@ def test_int8_masked_scores_match_int32(rng):
     )
     for a, b in zip(gp, want):
         np.testing.assert_array_equal(np.asarray(a)[:N], np.asarray(b))
+
+
+# --- wavefront kernel (kernels/sw_wave.py) --------------------------------
+
+from ghostm_tpu.kernels import sw_wave
+
+
+@pytest.mark.parametrize("Lq,B,atile", [(40, 32, 0), (24, 16, 0), (300, 32, 64)])
+def test_wave_interpret_matches_oracle(rng, Lq, B, atile):
+    N = 128
+    qs, ws, want = [], [], []
+    for t in range(N):
+        q, w = _random_case(rng, Lq, B, related=(t % 2 == 0))
+        qs.append(q)
+        ws.append(w)
+        if t < 32:
+            want.append(_oracle(q, w, B))
+    sc = _scores(qs, ws, B)
+    score, ie, be = sw_wave.sw_banded_wave(sc, GO, GE, a_tile=atile,
+                                           interpret=True)
+    got = list(zip(np.asarray(score[:32]), np.asarray(ie[:32]),
+                   np.asarray(be[:32])))
+    assert [tuple(int(v) for v in g) for g in got] == want
+
+
+def test_wave_i8_matches_int32(rng):
+    from ghostm_tpu.kernels.sw_xla import MASKED_I8
+    N, Lq, B = 128, 40, 32
+    sc = rng.integers(-11, 12, (N, Lq, B)).astype(np.int8)
+    sc[rng.random(sc.shape) < 0.15] = MASKED_I8
+    want = sw_xla.sw_banded(jnp.asarray(sc), GO, GE)
+    got = sw_wave.sw_banded_wave(jnp.asarray(sc), GO, GE, interpret=True)
+    for a, b in zip(got, want):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_wave_skew_tiles_layout(rng):
+    N, Lq, B = 2, 5, 8
+    h = B // 2
+    sc = rng.integers(-10, 10, (N, Lq, B)).astype(np.int32)
+    sk = np.asarray(sw_wave.skew_tiles(jnp.asarray(sc)))
+    A = Lq + h - 1
+    assert sk.shape == (N, A, B)
+    for a in range(A):
+        for c in range(B):
+            m = c % h
+            b = 2 * m + (1 if c >= h else 0)
+            i = a - m
+            want = sc[0, i, b] if 0 <= i < Lq else sw_wave.NEG
+            assert sk[0, a, c] == want
