@@ -77,7 +77,8 @@ def seed_key_tables(index: StackedIndex, shard: int, nbins: int):
       rowbase[j] = r * nbins        localoff[j] = o.
     The propose phase then builds each hit's packed vote key with two
     direct gathers at the hit's bucket index — no searchsorted, no gather
-    of the position value itself, and bucket-contiguous access locality."""
+    of the position value itself, and bucket-contiguous access locality.
+    (Fallback path: the aligned tables below are the fast path.)"""
     st = index.shards[shard].store
     pos = index.positions[shard].astype(np.int64)
     row = np.clip(
@@ -92,6 +93,95 @@ def seed_key_tables(index: StackedIndex, shard: int, nbins: int):
     return rowbase, localoff
 
 
+def aligned_key_tables(
+    index: StackedIndex, shard: int, nbins: int, half: int, Lq: int,
+    width: int,
+):
+    """Bucket-ALIGNED fused key table: every k-mer bucket's packed values
+    start at a multiple of `width`, so the propose expansion is plain
+    whole-row gathers with NO rotation network (the unaligned layout needed
+    2x the gather volume plus log2(width) conditional-roll passes — the
+    propose phase's single largest cost, measured).
+
+      tab[astart[k]//width + i]  — rows i in [0, ceil(expand/width))
+                                   hold bucket k's packed values
+                                   row*nbins*half + localoff + Lq
+      aux[k] = (astart[k]//width) << cbits | count[k]
+                                 — ONE gather yields both the row index
+                                   and the valid count.
+
+    Returns (tab2d int32 (R, width), aux int32 (nb+2,), fits: bool);
+    fits=False means int32 packing would overflow — caller falls back to
+    the unaligned rowbase/localoff path.
+    """
+    sd = index.shards[shard].seeds
+    st = index.shards[shard].store
+    bs = np.asarray(sd.bucket_starts, np.int64)
+    pos = np.asarray(sd.positions, np.int64)
+    counts = np.diff(bs)                      # (nb+1,)
+    padw = -(-counts // width) * width
+    astart = np.zeros(len(bs), np.int64)
+    np.cumsum(padw, out=astart[1:])
+    nrows_need = max(1, -(-index.expand_width // width))
+    total = int(astart[-1])
+    row = np.clip(
+        np.searchsorted(np.asarray(st.starts, np.int64), pos, side="right") - 1,
+        0, max(st.num_subjects - 1, 0),
+    )
+    starts_row = (
+        np.asarray(st.starts, np.int64)[row] if st.num_subjects else row
+    )
+    vals = row * (nbins * half) + (pos - starts_row) + Lq
+    cbits = int(width).bit_length()           # count in [0, width]
+    r_max = (total // width) + nrows_need
+    fits = (int(vals.max()) if len(vals) else 0) < (1 << 31) and (
+        (r_max << cbits) | width
+    ) < (1 << 31)
+    if not fits:
+        return None, None, False
+    tab = np.zeros(total + nrows_need * width, np.int64)
+    if len(pos):
+        bucket_of = np.repeat(np.arange(len(counts)), counts)
+        dst = astart[bucket_of] + (np.arange(len(pos)) - bs[bucket_of])
+        tab[dst] = vals
+    aux = ((astart // width) << cbits) | np.concatenate(
+        [counts, np.zeros(1, np.int64)]
+    )
+    return (
+        tab.astype(np.int32).reshape(-1, width),
+        aux.astype(np.int32),
+        True,
+    )
+
+
+def build_key_tables(
+    index: StackedIndex, nbins: int, half: int, Lq: int, width: int
+):
+    """Per-shard (tab_main, tab_aux) for ALL shards + the fused flag.
+    Aligned tables when every shard's packing fits int32, else the
+    unaligned fallback for all (mixed layouts are not worth supporting)."""
+    maps = []
+    fuse = True
+    for i in range(index.buffers.shape[0]):
+        tab, aux, ok = aligned_key_tables(index, i, nbins, half, Lq, width)
+        fuse &= ok
+        maps.append((tab, aux))
+    if not fuse:
+        maps = [
+            seed_key_tables(index, i, nbins)
+            for i in range(index.buffers.shape[0])
+        ]
+    return maps, fuse
+
+
+def pad_stack(xs: List[np.ndarray]) -> np.ndarray:
+    """Stack per-shard arrays along a new leading axis, zero-padding the
+    first dim to the max shard size (device arrays need static shapes)."""
+    n = max(x.shape[0] for x in xs)
+    pad = [(0, 0)] * (xs[0].ndim - 1)
+    return np.stack([np.pad(x, [(0, n - x.shape[0])] + pad) for x in xs])
+
+
 # --------------------------------------------------------------------------
 # Phase 1: propose (seed lookup + voting), traceable per-shard function
 # --------------------------------------------------------------------------
@@ -99,8 +189,8 @@ def seed_key_tables(index: StackedIndex, shard: int, nbins: int):
 def propose_shard(
     qflat: jnp.ndarray,
     bucket_starts: jnp.ndarray,
-    rowbase: jnp.ndarray,
-    localoff: jnp.ndarray,
+    tab_main: jnp.ndarray,
+    tab_aux: jnp.ndarray,
     subject_ids: jnp.ndarray,
     *,
     seed_len: int,
@@ -112,6 +202,8 @@ def propose_shard(
     nbins: int = 1 << 20,
     use_sort_kernel: bool = False,
     fuse_tables: bool = False,
+    table_width: int = 64,
+    presorted_run: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(Q, ncand) proposals (gsid, lbin, votes) for this shard.
 
@@ -119,12 +211,20 @@ def propose_shard(
     stays bounded (~64 MB) even with the large per-seed expansions that
     realistic DB scales need (seed_len 4-5, caps 64-256).
 
-    With fuse_tables (engine sets it whenever the packed value range fits
-    int32), the per-hit vote key comes from ONE table gather instead of
-    two: t[j] = rowbase[j]*half + localoff[j] + Lq, and
-    (t[j] - qpos) // half == rowbase[j] + (localoff[j] - qpos + Lq) // half
-    exactly (rowbase*half is divisible by half) — random gathers are the
-    propose phase's main cost after the sort-kernel switch."""
+    Fast path (fuse_tables, engine sets it whenever the packing fits
+    int32): tab_main is the bucket-ALIGNED packed table and tab_aux the
+    (row << cbits | count) lookup (engine.aligned_key_tables) — the
+    per-seed expansion is then ONE aux gather + whole aligned-row gathers,
+    no rotation network, no second bucket_starts gather. Fallback:
+    tab_main/tab_aux are the position-parallel rowbase/localoff tables.
+
+    presorted_run = expand (power of two): each (qpos, bucket) run of the
+    key row is monotone by construction, so runs are built ASCENDING for
+    even qpos and DESCENDING (flipped) for odd qpos and the bitonic sort
+    kernel skips its first log2(run) stages — the padded tail and run
+    interiors already satisfy the stage-log2(run)+1 precondition. The
+    sorted row (and every downstream value) is bit-identical: an integer
+    sort's output does not depend on input order."""
     Qf, Lq = qflat.shape
     qi = qflat.astype(jnp.int32)
     per_frame = Lq * expand * 4
@@ -136,49 +236,41 @@ def propose_shard(
 
     half = band // 2
     qpos = jnp.arange(Lq, dtype=jnp.int32)[None, :, None]
-    # Row-gather layout for the packed table: bucket runs are contiguous,
-    # so fetch whole WIDTH-aligned rows (8x faster than an elementwise
-    # gather of the same cells on TPU) and rotate each run into place with
-    # log2(WIDTH) conditional binary shifts — bit-identical keys.
-    WIDTH = 64
-    nrows = -(-expand // WIDTH) + 1
-    if fuse_tables:
-        ptab = rowbase * half + localoff + Lq
-        pad = (-ptab.shape[0]) % WIDTH + nrows * WIDTH
-        ptab2 = jnp.concatenate(
-            [ptab, jnp.zeros(pad, jnp.int32)]
-        ).reshape(-1, WIDTH)
-    else:
-        ptab2 = None
+    nrows = -(-expand // table_width)
+    cbits = int(table_width).bit_length()
 
     def chunk_fn(qc):
         kmers = seed_lookup.query_kmer_keys(qc, seed_len)
-        start = bucket_starts[kmers]
-        count = bucket_starts[kmers + 1] - start
         offs = jnp.arange(expand, dtype=jnp.int32)
-        valid = offs < count[..., None]
         if fuse_tables:
-            gl = start.reshape(-1)  # starts are always in-range (CSR)
-            r = gl // WIDTH
-            o = gl - r * WIDTH
-            w2 = jnp.concatenate([ptab2[r + i] for i in range(nrows)], axis=1)
-            d = WIDTH // 2
-            while d >= 1:
-                w2 = jnp.where(
-                    (o[:, None] & d) != 0, jnp.roll(w2, -d, axis=1), w2
+            aux = tab_aux[kmers]                       # (qc, Lq)
+            count = aux & ((1 << cbits) - 1)
+            valid = offs < count[..., None]
+            r = (aux >> cbits).reshape(-1)
+            if nrows == 1:
+                w2 = tab_main[r]
+            else:
+                w2 = jnp.concatenate(
+                    [tab_main[r + i] for i in range(nrows)], axis=1
                 )
-                d //= 2
             tg = w2[:, :expand].reshape(qc.shape[0], Lq, expand)
             keys = jnp.where(valid, (tg - qpos) // half, cand_mod.BIG)
         else:
+            start = bucket_starts[kmers]
+            count = bucket_starts[kmers + 1] - start
+            valid = offs < count[..., None]
             idx = jnp.clip(
-                start[..., None] + offs, 0, rowbase.shape[0] - 1
+                start[..., None] + offs, 0, tab_main.shape[0] - 1
             )
-            lbin = (localoff[idx] - qpos + Lq) // half
-            keys = jnp.where(valid, rowbase[idx] + lbin, cand_mod.BIG)
+            lbin = (tab_aux[idx] - qpos + Lq) // half
+            keys = jnp.where(valid, tab_main[idx] + lbin, cand_mod.BIG)
+        if presorted_run > 1:
+            odd = (jnp.arange(Lq, dtype=jnp.int32) & 1)[None, :, None]
+            keys = jnp.where(odd == 1, jnp.flip(keys, axis=2), keys)
         return cand_mod.vote_and_rank.__wrapped__(
             keys.reshape(qc.shape[0], Lq * expand), subject_ids,
             ncand, min_votes, smooth, nbins, use_sort_kernel,
+            presorted_run,
         )
 
     # Python-unrolled chunk loop: gathers inside a lax.map/scan body run
@@ -362,7 +454,8 @@ def rank_reads(score, gsid, frame, qend, s_end, bend, g0, srow, shard, topk):
 propose_shard_jit = functools.partial(
     jax.jit,
     static_argnames=("seed_len", "expand", "band", "ncand", "min_votes",
-                     "smooth", "nbins", "use_sort_kernel", "fuse_tables"),
+                     "smooth", "nbins", "use_sort_kernel", "fuse_tables",
+                     "table_width", "presorted_run"),
 )(propose_shard)
 
 align_shard_jit = functools.partial(
@@ -469,18 +562,30 @@ class SearchEngine:
         )
         half = cfg.band_width // 2
         Lqf = cfg.query_frame_len
+        # Aligned-table row width: one whole-row gather covers the full
+        # expansion (aligned_key_tables). 64 floor keeps tiny-expand tables
+        # sublane-friendly.
+        width = 64
+        while width < self.expand:
+            width *= 2
+        self._table_width = width
+        # presorted-run stage skip needs runs that exactly tile power-of-two
+        # blocks of the key row (see propose_shard docstring).
+        run = (
+            self.expand
+            if use_pallas and self.expand >= 8
+            and (self.expand & (self.expand - 1)) == 0
+            else 0
+        )
 
-        def _fits(rb, lo):
-            if rb.size == 0:
-                return True
-            return int(rb.max()) * half + int(lo.max()) + Lqf < (1 << 31)
+        maps, fuse = build_key_tables(index, self._nbins, half, Lqf, width)
+        self._propose_static["fuse_tables"] = fuse
+        self._propose_static["table_width"] = width
+        self._propose_static["presorted_run"] = run if fuse else 0
 
         if mesh is None:
             self.shard_dev: List[dict] = []
-            fuse = True
             for i in range(self.n_shards):
-                rb, lo = seed_key_tables(index, i, self._nbins)
-                fuse &= _fits(rb, lo)
                 self.shard_dev.append(
                     dict(
                         buffer=jnp.asarray(pad_buffer(index.buffers[i], cfg)),
@@ -488,11 +593,10 @@ class SearchEngine:
                         starts=jnp.asarray(index.starts[i]),
                         subject_ids=jnp.asarray(index.subject_ids[i]),
                         lengths=jnp.asarray(index.lengths[i]),
-                        rowbase=jnp.asarray(rb),
-                        localoff=jnp.asarray(lo),
+                        tab_main=jnp.asarray(maps[i][0]),
+                        tab_aux=jnp.asarray(maps[i][1]),
                     )
                 )
-            self._propose_static["fuse_tables"] = fuse
         else:
             from ghostm_tpu.parallel import mesh as pm
             from ghostm_tpu.parallel.search import make_distributed_step
@@ -510,10 +614,6 @@ class SearchEngine:
             buffers = np.stack(
                 [pad_buffer(index.buffers[i], cfg) for i in range(n_db)]
             )
-            maps = [seed_key_tables(index, i, self._nbins) for i in range(n_db)]
-            self._propose_static["fuse_tables"] = all(
-                _fits(m[0], m[1]) for m in maps
-            )
             self.shard_dev = [
                 dict(
                     buffer=put(buffers),
@@ -521,8 +621,8 @@ class SearchEngine:
                     starts=put(index.starts),
                     subject_ids=put(index.subject_ids),
                     lengths=put(index.lengths),
-                    rowbase=put(np.stack([m[0] for m in maps])),
-                    localoff=put(np.stack([m[1] for m in maps])),
+                    tab_main=put(pad_stack([m[0] for m in maps])),
+                    tab_aux=put(pad_stack([m[1] for m in maps])),
                 )
             ]
             self._qsharding = pm.query_sharding(mesh)
@@ -547,8 +647,8 @@ class SearchEngine:
             d = self.shard_dev[0]
             out = self._dist_step(
                 jax.device_put(qflat_np, self._qsharding),
-                d["buffer"], d["bucket_starts"], d["rowbase"],
-                d["localoff"], d["starts"], d["subject_ids"], d["lengths"],
+                d["buffer"], d["bucket_starts"], d["tab_main"],
+                d["tab_aux"], d["starts"], d["subject_ids"], d["lengths"],
                 self.matrix,
             )
             out = {k: np.asarray(v) for k, v in out.items()}
@@ -565,8 +665,8 @@ class SearchEngine:
         props = []
         for d in self.shard_dev:
             props.append(propose_shard_jit(
-                qflat, d["bucket_starts"], d["rowbase"],
-                d["localoff"], d["subject_ids"], **self._propose_static,
+                qflat, d["bucket_starts"], d["tab_main"],
+                d["tab_aux"], d["subject_ids"], **self._propose_static,
             ))
         pg = jnp.concatenate([p[0] for p in props], axis=1)
         pb = jnp.concatenate([p[1] for p in props], axis=1)

@@ -81,7 +81,7 @@ def _per_query(k: jnp.ndarray, nbins: int, ncand: int, min_votes: int,
 @functools.partial(
     jax.jit,
     static_argnames=("ncand", "min_votes", "smooth", "nbins",
-                     "use_sort_kernel"),
+                     "use_sort_kernel", "presorted_run"),
 )
 def vote_and_rank(
     keys: jnp.ndarray,        # (Q, M) int32 packed (row*nbins + bin) hit
@@ -92,6 +92,7 @@ def vote_and_rank(
     smooth: bool = False,
     nbins: int = 1 << 20,
     use_sort_kernel: bool = False,
+    presorted_run: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Vote packed (subject-row, local-diagonal-bin) cells; return this
     shard's top-N proposals per query frame: (gsid, lbin, votes), each
@@ -112,7 +113,7 @@ def vote_and_rank(
         )
     if use_sort_kernel:
         from ghostm_tpu.kernels.sort import sort_rows
-        sorted_keys = sort_rows(keys)
+        sorted_keys = sort_rows(keys, presorted_run=presorted_run)
     else:
         sorted_keys = jnp.sort(keys, axis=1)
     fn = functools.partial(

@@ -67,15 +67,29 @@ def _sort_kernel(ks_ref, js_ref, x_ref, o_ref, *, rows: int, length: int):
     o_ref[:] = jax.lax.fori_loop(0, npass, one_pass, x_ref[:])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def sort_rows(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+@functools.partial(
+    jax.jit, static_argnames=("presorted_run", "interpret")
+)
+def sort_rows(
+    x: jnp.ndarray, presorted_run: int = 0, interpret: bool = False
+) -> jnp.ndarray:
     """Ascending sort of each row of an (Q, M) int32 array.
 
     Bit-identical to jnp.sort(x, axis=1) (integer sort is unique), at VPU
     rather than XLA-sort speed. Q is padded to the block row count and M
     to the next power of two internally.
+
+    presorted_run = 2^p > 1: the caller guarantees each aligned 2^p block
+    of every row is already sorted ASCENDING for even block index and
+    DESCENDING for odd (exactly the state after bitonic stage p), so the
+    network starts at stage p+1 — for runs of 64 that skips 21 of the 78
+    passes of a 4096-wide sort. M must be a multiple of the run (the PAD
+    tail is constant, hence sorted in either direction).
     """
     Q, M = x.shape
+    run = max(presorted_run, 1)
+    if run & (run - 1) or (run > 1 and M % run):
+        raise ValueError(f"presorted_run={presorted_run} invalid for M={M}")
     L = 1 << max(M - 1, 1).bit_length()
     if L < _LANES:
         L = _LANES
@@ -86,8 +100,13 @@ def sort_rows(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     xp = jnp.full((Qp, L), PAD, jnp.int32)
     xp = jax.lax.dynamic_update_slice(xp, x.astype(jnp.int32), (0, 0))
     nstage = L.bit_length() - 1
+    first = run.bit_length()  # == p + 1
+    if first > nstage:
+        # the run covers the whole (power-of-two) row: already sorted
+        return xp[:Q, :M]
     sched = np.array(
-        [(k, j) for k in range(1, nstage + 1) for j in range(k - 1, -1, -1)],
+        [(k, j) for k in range(first, nstage + 1)
+         for j in range(k - 1, -1, -1)],
         dtype=np.int32,
     )
     ks, js = jnp.asarray(sched[:, 0]), jnp.asarray(sched[:, 1])

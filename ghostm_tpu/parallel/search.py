@@ -41,11 +41,11 @@ def make_distributed_step(mesh, propose_static: dict, align_static: dict,
     """Build the jitted mesh-wide search step (see engine.SearchEngine)."""
     ncand = propose_static["ncand"]
 
-    def local_step(qflat, buffers, bucket_starts, rowbase,
-                   localoff, starts, subject_ids, lengths, matrix):
+    def local_step(qflat, buffers, bucket_starts, tab_main,
+                   tab_aux, starts, subject_ids, lengths, matrix):
         # local shard rows: exactly one along "db"
         buf, bst = buffers[0], bucket_starts[0]
-        rb, lo = rowbase[0], localoff[0]
+        rb, lo = tab_main[0], tab_aux[0]
         st, sid, ln = starts[0], subject_ids[0], lengths[0]
         # --- phase 1: propose
         pg, pb, pv = propose_shard(qflat, bst, rb, lo, sid, **propose_static)
@@ -107,10 +107,10 @@ def make_distributed_step(mesh, propose_static: dict, align_static: dict,
     )
 
     @jax.jit
-    def step(qflat, buffers, bucket_starts, rowbase, localoff,
+    def step(qflat, buffers, bucket_starts, tab_main, tab_aux,
              starts, subject_ids, lengths, matrix) -> Dict[str, jnp.ndarray]:
         (score, gsid, frame, qend, s_end, bend, g0, srow, shard) = fn(
-            qflat, buffers, bucket_starts, rowbase, localoff,
+            qflat, buffers, bucket_starts, tab_main, tab_aux,
             starts, subject_ids, lengths, matrix,
         )
         return {

@@ -50,7 +50,7 @@ def main():
     ref = ref_eng.search_batch(qcodes)
 
     # distributed: ("data"=1, "db"=2) mesh across the two processes
-    from ghostm_tpu.engine import seed_key_tables
+    from ghostm_tpu.engine import build_key_tables, pad_stack
 
     mesh = pm.make_mesh(1, 2)
     step = make_distributed_step(
@@ -61,13 +61,17 @@ def main():
     buffers = np.stack(
         [pad_buffer(index.buffers[i], cfg) for i in range(2)]
     )
-    maps = [seed_key_tables(index, i, ref_eng._nbins) for i in range(2)]
+    maps, _fuse = build_key_tables(
+        index, ref_eng._nbins, cfg.band_width // 2, cfg.query_frame_len,
+        ref_eng._table_width,
+    )
+    assert _fuse == ref_eng._propose_static["fuse_tables"]
     qflat = qcodes.reshape(-1, cfg.query_frame_len)
     out = step(
         jax.device_put(qflat, pm.query_sharding(mesh)),
         put(buffers), put(index.bucket_starts),
-        put(np.stack([m[0] for m in maps])),
-        put(np.stack([m[1] for m in maps])),
+        put(pad_stack([m[0] for m in maps])),
+        put(pad_stack([m[1] for m in maps])),
         put(index.starts), put(index.subject_ids), put(index.lengths),
         jax.device_put(
             np.asarray(ref_eng.matrix), pm.replicated(mesh)

@@ -28,6 +28,21 @@ def test_sort_rows_with_big_padding(rng):
     assert np.array_equal(got, np.sort(x, axis=1))
 
 
+@pytest.mark.parametrize("q,m,run", [(16, 2560, 64), (8, 256, 16), (8, 512, 512)])
+def test_sort_rows_presorted_runs(rng, q, m, run):
+    """Stage-skip path: runs pre-sorted ascending (even block) / descending
+    (odd block) must sort bit-identically to the full network."""
+    x = rng.integers(0, 1 << 28, (q, m)).astype(np.int32)
+    x[rng.random((q, m)) < 0.3] = int(cand.BIG)
+    x3 = np.sort(x.reshape(q, m // run, run), axis=2)
+    x3[:, 1::2] = x3[:, 1::2, ::-1]
+    xr = x3.reshape(q, m)
+    got = np.asarray(
+        sort_rows(jnp.asarray(xr), presorted_run=run, interpret=True)
+    )
+    assert np.array_equal(got, np.sort(x, axis=1))
+
+
 def test_vote_and_rank_matches_topk_reference(rng):
     """The packed-argmax ranking must reproduce lax.top_k's exact
     (votes desc, first-index) contract, including tie handling."""
