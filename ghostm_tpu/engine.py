@@ -303,6 +303,62 @@ def _refine_device(qc, w, g0, lo, hi, matrix, *, gap_open, gap_extend, band):
     return s2, stats
 
 
+def _make_refine_packed(n_shards: int, band: int, gap_open: int,
+                        gap_extend: int, lead: int):
+    """Device-resident refine for the packed (9, R, K) hit array: window
+    fetch (aligned row gather per shard + disjoint shard-mask select),
+    moves DP and traceback walk all on device, producing a packed
+    (9, R, K) stats array — the pipeline then fetches ONE array per batch
+    instead of ~10 (engine.refine's host path costs a fetch per field,
+    ~30 ms each on the tunnel). Bit-identical to engine.refine."""
+
+    def fn(qcodes, packed, matrix, *shard_args):
+        buffers = shard_args[0::3]
+        starts = shard_args[1::3]
+        lengths = shard_args[2::3]
+        R, _, Lq = qcodes.shape
+        K = packed.shape[2]
+        n = R * K
+        frame = packed[2].reshape(-1)
+        g0 = packed[6].reshape(-1)
+        srow = packed[7].reshape(-1)
+        shard = packed[8].reshape(-1)
+        flat_read = jnp.repeat(jnp.arange(R, dtype=jnp.int32), K)
+        qc = qcodes[flat_read, frame].astype(jnp.int32)
+        wlen = Lq + band
+        nrows = (wlen + 127) // 128 + 1
+        w = jnp.zeros((n, wlen), jnp.int32)
+        lo = jnp.zeros(n, jnp.int32)
+        hi = jnp.zeros(n, jnp.int32)
+        for si in range(n_shards):
+            buf = buffers[si]
+            M2 = buf.shape[0] // 128
+            b2 = buf.reshape(M2, 128)
+            gl = jnp.clip(g0 + lead, 0, (M2 - nrows) * 128)
+            r = gl // 128
+            o = gl - r * 128
+            w2 = jnp.concatenate([b2[r + i] for i in range(nrows)], axis=1)
+            for k in range(6, -1, -1):
+                d = 1 << k
+                w2 = jnp.where(
+                    (o[:, None] & d) != 0, jnp.roll(w2, -d, axis=1), w2
+                )
+            m = shard == si
+            w = jnp.where(m[:, None], w2[:, :wlen].astype(jnp.int32), w)
+            S = starts[si].shape[0]
+            sr = jnp.clip(srow, 0, S - 1)
+            lo = jnp.where(m, starts[si][sr], lo)
+            hi = jnp.where(m, starts[si][sr] + lengths[si][sr], hi)
+        s2, stats = _refine_device.__wrapped__(
+            qc, w, g0, lo, hi, matrix,
+            gap_open=gap_open, gap_extend=gap_extend, band=band,
+        )
+        rows = [stats[k] for k in SearchEngine.STAT_KEYS] + [s2]
+        return jnp.stack([r.reshape(R, K) for r in rows])
+
+    return jax.jit(fn)
+
+
 # --------------------------------------------------------------------------
 # Phase 3: align (subject-bounded banded SW on selected candidates)
 # --------------------------------------------------------------------------
@@ -637,31 +693,13 @@ class SearchEngine:
         return six_frame_translate(dna, lengths, self.cfg.query_frame_len)
 
     # ------------------------------------------------------------------
-    def search_batch(self, qcodes: np.ndarray) -> BatchHits:
-        """qcodes: (R, 6, Lq) int8 translated frames. Returns merged top-k."""
-        R = qcodes.shape[0]
+    def _search_dev(self, qflat: jnp.ndarray, R: int) -> jnp.ndarray:
+        """Loop-path search entirely on device: propose -> select -> align
+        -> rank; returns the packed (9, R, K) int32 array WITHOUT fetching.
+        The tunnel backend charges ~30 ms per host fetch, so everything
+        stays device-resident until the caller fetches ONE array."""
         C = self.cfg.candidates_per_frame
         K = self.cfg.max_hits
-        qflat_np = qcodes.reshape(R * NFRAMES, self.cfg.query_frame_len)
-        if self.mesh is not None:
-            d = self.shard_dev[0]
-            out = self._dist_step(
-                jax.device_put(qflat_np, self._qsharding),
-                d["buffer"], d["bucket_starts"], d["tab_main"],
-                d["tab_aux"], d["starts"], d["subject_ids"], d["lengths"],
-                self.matrix,
-            )
-            out = {k: np.asarray(v) for k, v in out.items()}
-            return BatchHits(
-                **{k: out[k] for k in BatchHits.__dataclass_fields__}
-            )
-
-        # Device-resident loop path: propose -> select -> align -> rank all
-        # stay on device; ONE packed fetch at the end. The tunnel backend
-        # charges ~30 ms per host fetch, so the old per-phase numpy merge
-        # cost ~10 fetches/batch; outputs are bit-identical (same ops,
-        # same deterministic sort keys as the mesh path).
-        qflat = jnp.asarray(qflat_np)
         props = []
         for d in self.shard_dev:
             props.append(propose_shard_jit(
@@ -680,9 +718,68 @@ class SearchEngine:
                 **self._align_static,
             ))
         stacked = [jnp.stack(x) for x in zip(*outs)]
-        packed = _merge_rank_jit(stacked, sel_g, R, K)
+        return _merge_rank_jit(stacked, sel_g, R, K)
+
+    def search_batch(self, qcodes: np.ndarray) -> BatchHits:
+        """qcodes: (R, 6, Lq) int8 translated frames. Returns merged top-k."""
+        R = qcodes.shape[0]
+        qflat_np = qcodes.reshape(R * NFRAMES, self.cfg.query_frame_len)
+        if self.mesh is not None:
+            d = self.shard_dev[0]
+            out = self._dist_step(
+                jax.device_put(qflat_np, self._qsharding),
+                d["buffer"], d["bucket_starts"], d["tab_main"],
+                d["tab_aux"], d["starts"], d["subject_ids"], d["lengths"],
+                self.matrix,
+            )
+            out = {k: np.asarray(v) for k, v in out.items()}
+            return BatchHits(
+                **{k: out[k] for k in BatchHits.__dataclass_fields__}
+            )
+        packed = self._search_dev(jnp.asarray(qflat_np), R)
         out = np.asarray(packed)
         return BatchHits(*(out[i] for i in range(9)))
+
+    # ------------------------------------------------------------------
+    STAT_KEYS = ("qstart", "qend", "sstart", "send", "length", "matches",
+                 "mismatch", "gapopen")
+
+    def search_refine_async(self, qcodes: np.ndarray) -> jnp.ndarray:
+        """Dispatch search + refine for one batch WITHOUT blocking: returns
+        one device-resident (18, R, K) int32 array (9 hit fields + 8
+        alignment stats + score_check). JAX dispatch is asynchronous, so the
+        pipeline can overlap this batch's device work with the previous
+        batch's host-side fetch/format/write (ghostm_tpu.pipeline). Loop
+        path only (the mesh path fetches through search_batch).
+        Bit-identical to search_batch + refine (tests/test_pipeline.py)."""
+        assert self.mesh is None
+        R = qcodes.shape[0]
+        qflat = jnp.asarray(
+            qcodes.reshape(R * NFRAMES, self.cfg.query_frame_len)
+        )
+        packed = self._search_dev(qflat, R)
+        shard_args = []
+        for d in self.shard_dev:
+            shard_args += [d["buffer"], d["starts"], d["lengths"]]
+        stats = self._refine_packed_jit(
+            jnp.asarray(qcodes), packed, self.matrix, *shard_args
+        )
+        return jnp.concatenate([packed, stats], axis=0)
+
+    def unpack_results(self, arr: np.ndarray):
+        """(18, R, K) fetched array -> (BatchHits, stats dict)."""
+        hits = BatchHits(*(arr[i] for i in range(9)))
+        stats = {k: arr[9 + j] for j, k in enumerate(self.STAT_KEYS)}
+        stats["score_check"] = arr[17]
+        return hits, stats
+
+    @functools.cached_property
+    def _refine_packed_jit(self):
+        cfg = self.cfg
+        return _make_refine_packed(
+            self.n_shards, cfg.band_width, cfg.gap_open, cfg.gap_extend,
+            self.lead,
+        )
 
     # ------------------------------------------------------------------
     def refine(self, qcodes: np.ndarray, hits: BatchHits) -> Dict[str, np.ndarray]:

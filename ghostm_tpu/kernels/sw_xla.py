@@ -242,7 +242,6 @@ def traceback_stats_device(
     cost ~1 MB (SURVEY.md §3.3 — host boundary carries only small results).
     """
     n, Lq, B = moves.shape
-    nn = jnp.arange(n)
     i = ie.astype(jnp.int32)
     b = be.astype(jnp.int32)
     alive = i >= 0
@@ -250,22 +249,28 @@ def traceback_stats_device(
     qstart = jnp.where(alive, i, -1)
     sstart = jnp.where(alive, i + b, -1)
     zeros = jnp.zeros(n, jnp.int32)
-    mvi = moves.astype(jnp.int32)
+    # Pack the diagonal match-equality bit (q[i] == w[i+b]) into bit 4 of
+    # each move byte so the walk needs ONE element gather per step instead
+    # of three (mv + qchar + schar) — the walk's cost IS its gathers
+    # (~1.4 ms per 40k-element gather on v5e; everything else is trivial).
+    w_sk = jnp.stack([w[:, d : d + Lq] for d in range(B)], axis=-1)
+    eq_plane = (qc[:, :, None] == w_sk).astype(jnp.int32)
+    mvi = (moves.astype(jnp.int32) | (eq_plane << 4)).reshape(n, Lq * B)
 
-    def body(_, state):
+    def body(state):
         i, b, st, qstart, sstart, length, matches, mismatch, gapopen = state
         ii = jnp.clip(i, 0, Lq - 1)
         bb = jnp.clip(b, 0, B - 1)
-        mv = mvi[nn, ii, bb]
+        mv = jnp.take_along_axis(
+            mvi, (ii * B + bb)[:, None], axis=1
+        )[:, 0]
         inH = st == 0
         c = mv & 3
         stop = inH & ((c == 0) | (i < 0) | (b < 0) | (b >= B))
         diag = inH & ~stop & (c == 1)
         toE = inH & ~stop & (c == 2)
         toF = inH & ~stop & (c == 3)
-        qchar = qc[nn, ii]
-        schar = w[nn, jnp.clip(ii + bb, 0, Lq + B - 1)]
-        eq = (qchar == schar) & diag
+        eq = ((mv >> 4) & 1).astype(jnp.bool_) & diag
         matches = matches + eq
         mismatch = mismatch + (diag & ~eq)
         length = length + diag
@@ -293,9 +298,20 @@ def traceback_stats_device(
         st = jnp.where((st == 0) & (i < 0), 3, st)
         return (i, b, st, qstart, sstart, length, matches, mismatch, gapopen)
 
-    init = (i, b, st, qstart, sstart, zeros, zeros, zeros, zeros)
-    (i, b, st, qstart, sstart, length, matches, mismatch, gapopen) = (
-        lax.fori_loop(0, 2 * (Lq + B) + 4, body, init)
+    # while_loop with an all-done predicate: the iteration BOUND is
+    # 2*(Lq+B)+4, but the longest live path in a typical batch is ~Lq
+    # steps, so early exit cuts the walk ~3x. Finished rows are no-ops,
+    # so results are bit-identical to the bounded fori_loop.
+    init = (jnp.int32(0), (i, b, st, qstart, sstart, zeros, zeros, zeros,
+                           zeros))
+    bound = 2 * (Lq + B) + 4
+
+    def cond(state):
+        t, s = state
+        return (t < bound) & jnp.any(s[2] < 3)
+
+    _, (i, b, st, qstart, sstart, length, matches, mismatch, gapopen) = (
+        lax.while_loop(cond, lambda s: (s[0] + 1, body(s[1])), init)
     )
     empty = ie < 0
     return {

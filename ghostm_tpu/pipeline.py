@@ -61,6 +61,48 @@ def run_search(
 
         profile_cm = jax.profiler.trace(cfg.profile_dir)
         profile_cm.__enter__()
+    # Software pipelining (loop path): batch i+1's device work is DISPATCHED
+    # (JAX dispatch is async) before batch i's single packed result array is
+    # fetched, so device compute overlaps the host-side fetch + TSV
+    # formatting + write. The mesh path stays synchronous (its outputs are
+    # process-sharded global arrays).
+    use_async = getattr(engine, "mesh", None) is None
+    pending = None  # (bi, names, lens, nreads, R, dev_or_(hits, stats), t0)
+
+    def _flush(p):
+        nonlocal total_rows
+        bi, names, lens, nreads, R, payload, t0 = p
+        if use_async:
+            hits, stats = engine.unpack_results(np.asarray(payload))
+        else:
+            hits, stats = payload
+        if checkpointing:
+            part = os.path.join(parts_dir, f"part-{bi:06d}.tsv")
+            with open(part + ".tmp", "w") as f:
+                rows = write_hits(
+                    f, cfg, names, lens, snames, hits, stats,
+                    engine.index.total_residues,
+                )
+            os.replace(part + ".tmp", part)
+            with open(cursor_path, "w") as f:
+                json.dump({"completed_batches": bi + 1}, f)
+        else:
+            rows = write_hits(
+                out_f, cfg, names, lens, snames, hits, stats,
+                engine.index.total_residues,
+            )
+        wall = time.time() - t0
+        n_aln = R * NFRAMES * cfg.candidates_per_frame
+        cells = n_aln * cfg.query_frame_len * cfg.band_width
+        m = BatchMetrics(nreads, wall, cells * engine.n_shards, rows)
+        metrics.add(m)
+        log.info(
+            "batch %d: %d reads, %d rows, %.2fs (%.0f reads/s, %.2f GCUPS)",
+            bi, nreads, rows, wall, m.reads_per_s, m.gcups,
+            extra={"metrics": vars(m)},
+        )
+        total_rows += rows
+
     try:
         out_f = None if checkpointing else open(output, "w")
         if out_f:
@@ -70,35 +112,19 @@ def run_search(
                 continue
             t0 = time.time()
             qcodes = engine.translate(dna, lens)
-            hits = engine.search_batch(qcodes)
-            stats = engine.refine(qcodes, hits)
-            nreads = len(names)
-            if checkpointing:
-                part = os.path.join(parts_dir, f"part-{bi:06d}.tsv")
-                with open(part + ".tmp", "w") as f:
-                    rows = write_hits(
-                        f, cfg, names, lens, snames, hits, stats,
-                        engine.index.total_residues,
-                    )
-                os.replace(part + ".tmp", part)
-                with open(cursor_path, "w") as f:
-                    json.dump({"completed_batches": bi + 1}, f)
+            if use_async:
+                payload = engine.search_refine_async(qcodes)
             else:
-                rows = write_hits(
-                    out_f, cfg, names, lens, snames, hits, stats,
-                    engine.index.total_residues,
-                )
-            wall = time.time() - t0
-            n_aln = qcodes.shape[0] * NFRAMES * cfg.candidates_per_frame
-            cells = n_aln * cfg.query_frame_len * cfg.band_width
-            m = BatchMetrics(nreads, wall, cells * engine.n_shards, rows)
-            metrics.add(m)
-            log.info(
-                "batch %d: %d reads, %d rows, %.2fs (%.0f reads/s, %.2f GCUPS)",
-                bi, nreads, rows, wall, m.reads_per_s, m.gcups,
-                extra={"metrics": vars(m)},
+                hits = engine.search_batch(qcodes)
+                payload = (hits, engine.refine(qcodes, hits))
+            if pending is not None:
+                _flush(pending)
+            pending = (
+                bi, names, lens, len(names), qcodes.shape[0], payload, t0
             )
-            total_rows += rows
+        if pending is not None:
+            _flush(pending)
+            pending = None
         if checkpointing:
             # concatenate parts into the final output
             with open(output, "w") as f:

@@ -148,41 +148,48 @@ def write_hits(
     s_start_sub = s_end_sub - (send_window - sstart_window).
     """
     R, K = hits.score.shape
-    rows = 0
+    nR = min(R, len(read_names))
     lam, kk = cfg.ka_lambda, cfg.ka_k
-    qlen_aa = np.maximum((read_lens // 3), 1)
-    for r in range(R):
-        if r >= len(read_names):
-            break
-        for k in range(K):
-            sc = int(hits.score[r, k])
-            if sc <= 0:
-                continue
-            e = float(
-                ev.e_value(np.array([sc]), qlen_aa[r : r + 1], db_residues, lam, kk)[0]
-            )
-            if e > cfg.evalue_cutoff:
-                continue
-            # subject-local coords: engine gives s_end; derive sstart from
-            # window-local span length.
-            span = int(stats["send"][r, k] - stats["sstart"][r, k])
-            s_end_sub = int(hits.s_end[r, k]) + 1           # 1-based inclusive
-            s_start_sub = s_end_sub - span
-            qs_dna, qe_dna = frame_to_dna_coords(
-                hits.frame[r : r + 1, k],
-                stats["qstart"][r : r + 1, k],
-                stats["qend"][r : r + 1, k],
-                read_lens[r : r + 1],
-            )
-            length = int(stats["length"][r, k])
-            matches = int(stats["matches"][r, k])
-            pident = 100.0 * matches / max(length, 1)
-            bits = float(ev.bit_score(np.array([sc]), lam, kk)[0])
-            out.write(
-                f"{read_names[r]}\t{subject_names[int(hits.gsid[r, k])]}\t"
-                f"{pident:.2f}\t{length}\t{int(stats['mismatch'][r, k])}\t"
-                f"{int(stats['gapopen'][r, k])}\t{int(qs_dna[0])}\t{int(qe_dna[0])}\t"
-                f"{s_start_sub}\t{s_end_sub}\t{e:.2e}\t{bits:.1f}\n"
-            )
-            rows += 1
-    return rows
+    # Vectorised column computation + filter; the Python loop below only
+    # formats the few surviving rows (the per-(r,k) loop with 1-element
+    # numpy calls cost ~0.45 s per 4096-read batch — ~50x this path).
+    # All float math is float64 in the same expression order as the old
+    # per-row code, so the formatted text is identical.
+    sc = hits.score[:nR].astype(np.int64)
+    qlen_aa = np.maximum(read_lens[:nR].astype(np.int64) // 3, 1)
+    e = ev.e_value(
+        sc.reshape(-1), np.repeat(qlen_aa, K), db_residues, lam, kk
+    ).reshape(nR, K)
+    keep = (sc > 0) & (e <= cfg.evalue_cutoff)
+    r_idx, k_idx = np.nonzero(keep)
+    if r_idx.size == 0:
+        return 0
+    span = stats["send"][:nR] - stats["sstart"][:nR]
+    s_end_sub = hits.s_end[:nR].astype(np.int64) + 1    # 1-based inclusive
+    s_start_sub = s_end_sub - span
+    qs_dna, qe_dna = frame_to_dna_coords(
+        hits.frame[:nR].reshape(-1),
+        stats["qstart"][:nR].reshape(-1),
+        stats["qend"][:nR].reshape(-1),
+        np.repeat(read_lens[:nR], K),
+    )
+    qs_dna = qs_dna.reshape(nR, K)
+    qe_dna = qe_dna.reshape(nR, K)
+    length = stats["length"][:nR]
+    matches = stats["matches"][:nR]
+    pident = 100.0 * matches / np.maximum(length, 1)
+    bits = ev.bit_score(sc.reshape(-1), lam, kk).reshape(nR, K)
+    mismatch = stats["mismatch"][:nR]
+    gapopen = stats["gapopen"][:nR]
+    gsid = hits.gsid[:nR]
+    lines = []
+    for r, k in zip(r_idx.tolist(), k_idx.tolist()):
+        lines.append(
+            f"{read_names[r]}\t{subject_names[int(gsid[r, k])]}\t"
+            f"{pident[r, k]:.2f}\t{length[r, k]}\t{mismatch[r, k]}\t"
+            f"{gapopen[r, k]}\t{qs_dna[r, k]}\t{qe_dna[r, k]}\t"
+            f"{s_start_sub[r, k]}\t{s_end_sub[r, k]}\t{e[r, k]:.2e}\t"
+            f"{bits[r, k]:.1f}\n"
+        )
+    out.write("".join(lines))
+    return len(lines)

@@ -92,3 +92,30 @@ def test_checkpoint_resume(dataset, tmp_path):
     ) == 0
     with open(out) as f:
         assert sorted(f.read().splitlines()) == sorted(ref.splitlines())
+
+
+def test_async_path_equals_sync(dataset, tmp_path):
+    """search_refine_async must be bit-identical to search_batch + refine
+    (the pipeline's software-pipelined fast path vs the reference path)."""
+    from ghostm_tpu.config import Config
+    from ghostm_tpu.engine import SearchEngine
+    from ghostm_tpu.index.diskio import load_index
+    from ghostm_tpu.io.fasta import read_batches
+
+    db_fa, reads_fa = dataset
+    prefix = str(tmp_path / "idx_async")
+    assert cli_main(["db", "-i", db_fa, "-o", prefix, "--shards", "2"]) == 0
+    cfg = Config(query_batch=64)
+    eng = SearchEngine(cfg, load_index(prefix), use_pallas=False)
+    names, dna, lens = next(iter(read_batches(reads_fa, 64, 100)))
+    qc = eng.translate(dna, lens)
+    hits = eng.search_batch(qc)
+    stats = eng.refine(qc, hits)
+    arr = np.asarray(eng.search_refine_async(qc))
+    hits2, stats2 = eng.unpack_results(arr)
+    for f in hits.__dataclass_fields__:
+        np.testing.assert_array_equal(
+            getattr(hits, f), getattr(hits2, f), err_msg=f"hit field {f}"
+        )
+    for k in stats:
+        np.testing.assert_array_equal(stats[k], stats2[k], err_msg=k)
