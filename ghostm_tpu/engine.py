@@ -36,7 +36,7 @@ from jax import lax
 from ghostm_tpu.config import Config
 from ghostm_tpu.index.diskio import StackedIndex
 from ghostm_tpu.kernels import candidates as cand_mod
-from ghostm_tpu.kernels import seed_lookup, sw_pallas, sw_wave, sw_xla
+from ghostm_tpu.kernels import seed_lookup, sw_fused, sw_pallas, sw_wave, sw_xla
 from ghostm_tpu.ops.encode import SENTINEL
 from ghostm_tpu.ops.scoring import LOW, padded_matrix
 from ghostm_tpu.ops.translate import six_frame_translate
@@ -379,6 +379,9 @@ def align_shard(
     chunk: int,
     use_pallas: bool,
     lead: int,
+    fused_words: Optional[tuple] = None,
+    code_limit: int = 23,
+    fused_interpret: bool = False,
 ):
     """Returns (score, qend, bend, s_end, g0, srow, owned), each (Qf, C);
     score is 0 (and fields garbage) for candidates not owned by this shard.
@@ -414,8 +417,22 @@ def align_shard(
     # rows get masked scores — they decay every DP value strictly, so they
     # can never change the best cell or its tie-break).
     rtile = Lq if Lq <= 256 else 128
+    # Fused-scoring wavefront kernel (kernels/sw_fused.py): the flagship
+    # align path — no HBM score tensor, scores generated in-kernel from the
+    # raw codes. Falls back to the score-fed kernels when its packed
+    # best-tracking cannot cover Lq.
+    _h = band // 2
+    _A = Lq + _h - 1
+    _at = -(-(_A if _A <= 256 else 128) // sw_fused.UNROLL) * sw_fused.UNROLL
+    _sh = int(-(-_A // _at) * _at + 2 * _h).bit_length()
+    use_fused = (
+        (use_pallas or fused_interpret) and fused_words is not None
+        and band % 2 == 0 and band >= 16
+        and 15 * Lq < (1 << (31 - _sh))   # kernel's packed-best guard
+    )
     use_wave = (
-        use_pallas and Lq >= 64 and band >= 16 and band % 2 == 0
+        use_pallas and not use_fused
+        and Lq >= 64 and band >= 16 and band % 2 == 0
         # conservative bound on sw_wave's internal packing check
         and 15 * Lq < (1 << (31 - (Lq + 2 * band).bit_length()))
     )
@@ -446,6 +463,12 @@ def align_shard(
 
     def chunk_fn(args):
         qc, w, g0c, loc, hic = args
+        if use_fused:
+            return sw_fused.sw_fused_wave(
+                qc, w, fused_words, loc - g0c, hic - g0c,
+                gap_open, gap_extend, band, code_limit=code_limit,
+                interpret=fused_interpret,
+            )
         if use_i8:
             sc = sw_xla.banded_scores_i8(qc, w, matrix, band, g0c, loc, hic)
             pad_val = sw_xla.MASKED_I8
@@ -517,7 +540,7 @@ propose_shard_jit = functools.partial(
 align_shard_jit = functools.partial(
     jax.jit,
     static_argnames=("band", "gap_open", "gap_extend", "chunk", "use_pallas",
-                     "lead"),
+                     "lead", "fused_words", "code_limit", "fused_interpret"),
 )(align_shard)
 
 
@@ -608,6 +631,9 @@ class SearchEngine:
             use_sort_kernel=use_pallas,
         )
         self._nbins = self._propose_static["nbins"]
+        fused_words, code_limit = sw_fused.build_packed_matrix(
+            padded_matrix(cfg.matrix, hard_stop=True)
+        )
         self._align_static = dict(
             band=cfg.band_width,
             gap_open=cfg.gap_open,
@@ -615,6 +641,8 @@ class SearchEngine:
             chunk=self.chunk,
             use_pallas=use_pallas,
             lead=self.lead,
+            fused_words=fused_words if use_pallas else None,
+            code_limit=code_limit,
         )
         half = cfg.band_width // 2
         Lqf = cfg.query_frame_len
