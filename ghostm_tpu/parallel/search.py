@@ -28,7 +28,8 @@ from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from ghostm_tpu.engine import (
-    NFRAMES, align_shard, propose_shard, rank_reads,
+    NFRAMES, align_shard, fetch_windows, propose_shard, rank_reads,
+    refine_stats_packed,
 )
 from ghostm_tpu.kernels.candidates import select_global
 from ghostm_tpu.parallel.mesh import DATA_AXIS, DB_AXIS
@@ -94,7 +95,36 @@ def make_distributed_step(mesh, propose_static: dict, align_static: dict,
             rs(score), gsid, frame, rs(qend), rs(s_end), rs(bend), rs(g0),
             rs(srow), rs(shard), topk,
         )
-        return out
+        # --- phase 4: in-graph refine (stats for the reported hits) ---
+        # Each db shard fetches windows for the hits IT owns from its local
+        # buffer; one psum assembles the full window set (hits are owned by
+        # exactly one shard; unowned contributions are zero), then every
+        # shard runs the identical small moves-DP — bit-identical to the
+        # loop path's packed refine (engine._make_refine_packed), with no
+        # host-side buffer work per batch (VERDICT.md weak #5).
+        packed = jnp.stack(out)              # (9, R, K)
+        K = packed.shape[2]
+        hit_shard = packed[8].reshape(-1)
+        hit_g0 = packed[6].reshape(-1)
+        hit_srow = packed[7].reshape(-1)
+        Lq = qflat.shape[1]
+        wlen = Lq + align_static["band"]
+        mine = hit_shard == my_shard
+        w_local = fetch_windows(buf, hit_g0, align_static["lead"], wlen)
+        S = st.shape[0]
+        sr = jnp.clip(hit_srow, 0, S - 1)
+        zero = jnp.zeros_like(hit_g0)
+        w = lax.psum(
+            jnp.where(mine[:, None], w_local.astype(jnp.int32), 0), DB_AXIS
+        )
+        lo2 = lax.psum(jnp.where(mine, st[sr], zero), DB_AXIS)
+        hi2 = lax.psum(jnp.where(mine, st[sr] + ln[sr], zero), DB_AXIS)
+        stats = refine_stats_packed(
+            qflat.reshape(R, NFRAMES, Lq), packed, matrix, w, lo2, hi2,
+            band=align_static["band"], gap_open=align_static["gap_open"],
+            gap_extend=align_static["gap_extend"],
+        )
+        return out + tuple(stats[i] for i in range(9))
 
     specs_idx = P(DB_AXIS)
     fn = shard_map(
@@ -102,21 +132,24 @@ def make_distributed_step(mesh, propose_static: dict, align_static: dict,
         mesh=mesh,
         in_specs=(P(DATA_AXIS), specs_idx, specs_idx, specs_idx, specs_idx,
                   specs_idx, specs_idx, specs_idx, P()),
-        out_specs=tuple([P(DATA_AXIS)] * 9),
+        out_specs=tuple([P(DATA_AXIS)] * 18),
         check_vma=False,
     )
+
+    HIT_KEYS = ("score", "gsid", "frame", "qend", "s_end", "bend", "g0",
+                "srow", "shard")
+    STAT_KEYS = ("qstart", "qend_s", "sstart", "send", "length", "matches",
+                 "mismatch", "gapopen", "score_check")
 
     @jax.jit
     def step(qflat, buffers, bucket_starts, tab_main, tab_aux,
              starts, subject_ids, lengths, matrix) -> Dict[str, jnp.ndarray]:
-        (score, gsid, frame, qend, s_end, bend, g0, srow, shard) = fn(
+        outs = fn(
             qflat, buffers, bucket_starts, tab_main, tab_aux,
             starts, subject_ids, lengths, matrix,
         )
-        return {
-            "score": score, "gsid": gsid, "frame": frame, "qend": qend,
-            "s_end": s_end, "bend": bend, "g0": g0, "srow": srow,
-            "shard": shard,
-        }
+        d = dict(zip(HIT_KEYS, outs[:9]))
+        d.update(zip(STAT_KEYS, outs[9:]))
+        return d
 
     return step

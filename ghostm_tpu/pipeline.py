@@ -115,8 +115,8 @@ def run_search(
             if use_async:
                 payload = engine.search_refine_async(qcodes)
             else:
-                hits = engine.search_batch(qcodes)
-                payload = (hits, engine.refine(qcodes, hits))
+                # mesh path: hits AND refine stats from ONE compiled step
+                payload = engine.search_batch_stats(qcodes)
             if pending is not None:
                 _flush(pending)
             pending = (
