@@ -105,6 +105,8 @@ def cmd_aln(args) -> int:
         query_batch=args.batch,
         profile_dir=args.profile,
         checkpoint_batches=args.checkpoint_batches,
+        chain_gamma=args.chain_gamma,
+        check=args.check or None,
         data_axis=args.data_axis,
         db_axis=args.db_axis,
     )
@@ -152,8 +154,14 @@ def main(argv=None) -> int:
     pa.add_argument("-e", "--evalue", type=float, default=None)
     pa.add_argument("--batch", type=int, default=None)
     pa.add_argument("--max-read-len", type=int, default=120)
+    pa.add_argument("--chain-gamma", type=int, default=None,
+                    help="> 0: collinear seed chaining with this drift "
+                         "penalty (long-read mode, SURVEY.md §5.7)")
     pa.add_argument("--pallas", action=argparse.BooleanOptionalAction, default=None)
     pa.add_argument("--profile", type=str, default=None, help="profiler trace dir")
+    pa.add_argument("--check", action="store_true",
+                    help="checkify debug mode: re-run each batch's search "
+                         "math with OOB-index/NaN checks (SURVEY.md §5.2)")
     pa.add_argument("--resume", action="store_true",
                     help="resume from per-batch checkpoint parts")
     pa.add_argument("--checkpoint-batches", type=int, default=None,

@@ -37,6 +37,15 @@ class Config:
     # hits drifting across bins (indels over kbp-scale queries) still
     # concentrate on one candidate band. Off by default for short reads.
     smooth_bins: bool = False
+    # Collinear chaining (SURVEY.md §5.7, config 5): > 0 ranks candidates
+    # by chain score — votes accumulated along same-subject diagonal runs
+    # with a drift penalty of chain_gamma votes per bin — instead of raw
+    # per-bin votes. The long-read mode's band-center selector; leave 0
+    # for short reads. gamma must EXCEED the expected noise votes per
+    # (subject, bin) cell (~ Lq * expand / (subjects * nbins)) or chains
+    # profitably run away through noise — with seed_len >= 4 noise is
+    # well below 1 and gamma 1-4 is safe. (kernels/candidates.py chain DP.)
+    chain_gamma: int = 0
 
     # --- alignment (SURVEY.md §1.1 step 4) ---
     band_width: int = 32         # banded SW band (diagonal span), multiple of 8
@@ -53,9 +62,13 @@ class Config:
     # --- reporting (SURVEY.md §1.1 step 5) ---
     max_hits: int = 10           # top-k reported alignments per read
     evalue_cutoff: float = 10.0
-    # Karlin-Altschul gapped params for BLOSUM62/(11,1) (NCBI table values)
-    ka_lambda: float = 0.267
-    ka_k: float = 0.041
+    # Karlin-Altschul gapped params: None -> looked up from the published
+    # NCBI table by (matrix, gap_open, gap_extend) (ops/evalue.py, which
+    # REJECTS combinations with no published fit). Explicit values override
+    # (e.g. to mirror a reference run's constants).
+    ka_lambda: Optional[float] = None
+    ka_k: Optional[float] = None
+    ka_h: Optional[float] = None
 
     # --- index build ---
     shards: int = 1              # DB shards written by `db` mode
@@ -72,6 +85,7 @@ class Config:
     # --- observability (SURVEY.md §5.1, §5.5) ---
     profile_dir: Optional[str] = None
     log_json: bool = False
+    check: bool = False          # checkify debug mode (SURVEY.md §5.2)
     checkpoint_batches: int = 0  # >0: write per-batch result parts + cursor
 
     def __post_init__(self):
@@ -81,6 +95,16 @@ class Config:
             raise ValueError("seed_len must be in [2, 5]")
         if self.sentinel_pad < self.seed_len:
             raise ValueError("sentinel_pad must be >= seed_len")
+        self.ka_params()  # reject unknown (matrix, gap) combos early
+
+    def ka_params(self):
+        """(lambda, K, H) — explicit fields win, else the published NCBI
+        table (ValueError for unknown (matrix, gap_open, gap_extend))."""
+        if self.ka_lambda is not None and self.ka_k is not None:
+            return self.ka_lambda, self.ka_k, self.ka_h or 0.0
+        from ghostm_tpu.ops.evalue import params_for
+
+        return params_for(self.matrix, self.gap_open, self.gap_extend)
 
     @classmethod
     def from_json(cls, path: str, **overrides) -> "Config":

@@ -204,6 +204,7 @@ def propose_shard(
     fuse_tables: bool = False,
     table_width: int = 64,
     presorted_run: int = 0,
+    chain_gamma: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(Q, ncand) proposals (gsid, lbin, votes) for this shard.
 
@@ -270,7 +271,7 @@ def propose_shard(
         return cand_mod.vote_and_rank.__wrapped__(
             keys.reshape(qc.shape[0], Lq * expand), subject_ids,
             ncand, min_votes, smooth, nbins, use_sort_kernel,
-            presorted_run,
+            presorted_run, chain_gamma,
         )
 
     # Python-unrolled chunk loop: gathers inside a lax.map/scan body run
@@ -561,7 +562,7 @@ propose_shard_jit = functools.partial(
     jax.jit,
     static_argnames=("seed_len", "expand", "band", "ncand", "min_votes",
                      "smooth", "nbins", "use_sort_kernel", "fuse_tables",
-                     "table_width", "presorted_run"),
+                     "table_width", "presorted_run", "chain_gamma"),
 )(propose_shard)
 
 align_shard_jit = functools.partial(
@@ -633,6 +634,7 @@ class SearchEngine:
     ):
         self.cfg = cfg
         self.index = index
+        self._checked_fn = None
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
@@ -653,6 +655,7 @@ class SearchEngine:
             ncand=cfg.candidates_per_frame,
             min_votes=cfg.min_votes,
             smooth=cfg.smooth_bins,
+            chain_gamma=cfg.chain_gamma,
             nbins=int(index.lengths.max() + cfg.query_frame_len)
             // (cfg.band_width // 2) + 2,
             use_sort_kernel=use_pallas,
@@ -673,12 +676,21 @@ class SearchEngine:
         )
         half = cfg.band_width // 2
         Lqf = cfg.query_frame_len
-        # Aligned-table row width: one whole-row gather covers the full
-        # expansion (aligned_key_tables). 64 floor keeps tiny-expand tables
-        # sublane-friendly.
+        # Aligned-table row width: whole-row gathers cover the expansion in
+        # ceil(expand/width) gathers; every non-empty bucket pads to a
+        # multiple of width. At k=5 scales (3.2M buckets, hits_per_seed
+        # 128-256) a full-expansion width can inflate the table to several
+        # GB (VERDICT r01 weak #4) — step the width down (propose already
+        # supports multi-row gathers) until padding stays within 2x the
+        # raw positions.
         width = 64
         while width < self.expand:
             width *= 2
+        raw_positions = max(
+            1, sum(len(sh.seeds.positions) for sh in index.shards)
+        )
+        while width > 32 and self._padded_total(width) > 2 * raw_positions:
+            width //= 2
         self._table_width = width
         # presorted-run stage skip needs runs that exactly tile power-of-two
         # blocks of the key row (see propose_shard docstring).
@@ -747,33 +759,84 @@ class SearchEngine:
     def translate(self, dna: np.ndarray, lengths: np.ndarray) -> np.ndarray:
         return six_frame_translate(dna, lengths, self.cfg.query_frame_len)
 
+    def _padded_total(self, width: int) -> int:
+        """Total bucket-aligned table entries at a given row width."""
+        total = 0
+        for sh in self.index.shards:
+            counts = np.diff(np.asarray(sh.seeds.bucket_starts, np.int64))
+            total += int((-(-counts // width) * width).sum())
+        return total
+
     # ------------------------------------------------------------------
-    def _search_dev(self, qflat: jnp.ndarray, R: int) -> jnp.ndarray:
+    def _search_phases(self, qflat: jnp.ndarray, R: int, jitted: bool = True
+                       ) -> jnp.ndarray:
         """Loop-path search entirely on device: propose -> select -> align
         -> rank; returns the packed (9, R, K) int32 array WITHOUT fetching.
         The tunnel backend charges ~30 ms per host fetch, so everything
-        stays device-resident until the caller fetches ONE array."""
+        stays device-resident until the caller fetches ONE array.
+
+        jitted=False traces the raw (unjitted) phase functions on the XLA
+        (non-Pallas) paths so a checkify transform can see through them
+        (search_batch_checked) — bit-identical values either way."""
         C = self.cfg.candidates_per_frame
         K = self.cfg.max_hits
+        if jitted:
+            pfn, afn = propose_shard_jit, align_shard_jit
+            sfn, mfn = _select_jit, _merge_rank_jit
+            ps, als = self._propose_static, self._align_static
+        else:
+            pfn, afn = propose_shard, align_shard
+            sfn, mfn = _select_jit.__wrapped__, _merge_rank_jit.__wrapped__
+            ps = dict(self._propose_static, use_sort_kernel=False,
+                      presorted_run=0)
+            als = dict(self._align_static, use_pallas=False,
+                       fused_words=None)
         props = []
         for d in self.shard_dev:
-            props.append(propose_shard_jit(
+            props.append(pfn(
                 qflat, d["bucket_starts"], d["tab_main"],
-                d["tab_aux"], d["subject_ids"], **self._propose_static,
+                d["tab_aux"], d["subject_ids"], **ps,
             ))
         pg = jnp.concatenate([p[0] for p in props], axis=1)
         pb = jnp.concatenate([p[1] for p in props], axis=1)
         pv = jnp.concatenate([p[2] for p in props], axis=1)
-        sel_g, sel_b = _select_jit(pg, pb, pv, C)
+        sel_g, sel_b = sfn(pg, pb, pv, C)
         outs = []
         for d in self.shard_dev:
-            outs.append(align_shard_jit(
+            outs.append(afn(
                 qflat, d["buffer"], d["starts"], d["subject_ids"],
                 d["lengths"], self.matrix, sel_g, sel_b,
-                **self._align_static,
+                **als,
             ))
         stacked = [jnp.stack(x) for x in zip(*outs)]
-        return _merge_rank_jit(stacked, sel_g, R, K)
+        return mfn(stacked, sel_g, R, K)
+
+    def _search_dev(self, qflat: jnp.ndarray, R: int) -> jnp.ndarray:
+        return self._search_phases(qflat, R, jitted=True)
+
+    def search_batch_checked(self, qcodes: np.ndarray) -> BatchHits:
+        """Debug mode (SURVEY.md §5.2, CLI --check): run the full search
+        math under jax.experimental.checkify with out-of-bounds index and
+        float-error checks, on the XLA (non-Pallas) phase variants — the
+        values are bit-identical to the production paths, so a check
+        failure here means the production step computes with OOB gathers
+        or NaNs too. Raises checkify.JaxRuntimeError on violation."""
+        from jax.experimental import checkify
+
+        assert self.mesh is None, "--check supports the loop path only"
+        R = qcodes.shape[0]
+        qflat = jnp.asarray(
+            qcodes.reshape(R * NFRAMES, self.cfg.query_frame_len)
+        )
+        if self._checked_fn is None or self._checked_fn[0] != R:
+            f = functools.partial(self._search_phases, R=R, jitted=False)
+            self._checked_fn = (R, jax.jit(checkify.checkify(
+                f, errors=checkify.index_checks | checkify.float_checks
+            )))
+        err, packed = self._checked_fn[1](qflat)
+        checkify.check_error(err)
+        out = np.asarray(packed)
+        return BatchHits(*(out[i] for i in range(9)))
 
     def search_batch(self, qcodes: np.ndarray) -> BatchHits:
         """qcodes: (R, 6, Lq) int8 translated frames. Returns merged top-k."""

@@ -105,10 +105,20 @@ def _per_query(k: jnp.ndarray, nbins: int, ncand: int, min_votes: int,
     # top_k's first-index-on-ties contract. Run starts are key-ascending in
     # idx, so idx-asc == key-asc.
     shift = M.bit_length()
-    if 2 * shift > 31:
-        raise ValueError(f"M={M} too large for packed argmax ranking")
-    pk = (votes << shift) | (M - 1 - idx)
     top_keys, top_votes = [], []
+    if 2 * shift > 31:
+        # (votes << shift | idx) overflows int32 for very long frames
+        # (10 kbp reads: M = Lq * expand > 32k); same contract via two
+        # reductions per candidate: max votes, then first index at that max.
+        vcur = votes
+        for _ in range(ncand):
+            v = jnp.max(vcur)
+            i = jnp.min(jnp.where(vcur == v, idx, jnp.int32(M - 1)))
+            top_votes.append(v)
+            top_keys.append(jnp.where(v > 0, k[i], BIG))
+            vcur = jnp.where(idx == i, 0, vcur)
+        return jnp.stack(top_keys), jnp.stack(top_votes)
+    pk = (votes << shift) | (M - 1 - idx)
     for _ in range(ncand):
         m = jnp.max(pk)
         v = m >> shift
@@ -122,7 +132,7 @@ def _per_query(k: jnp.ndarray, nbins: int, ncand: int, min_votes: int,
 @functools.partial(
     jax.jit,
     static_argnames=("ncand", "min_votes", "smooth", "nbins",
-                     "use_sort_kernel", "presorted_run"),
+                     "use_sort_kernel", "presorted_run", "chain_gamma"),
 )
 def vote_and_rank(
     keys: jnp.ndarray,        # (Q, M) int32 packed (row*nbins + bin) hit
@@ -134,6 +144,7 @@ def vote_and_rank(
     nbins: int = 1 << 20,
     use_sort_kernel: bool = False,
     presorted_run: int = 0,
+    chain_gamma: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Vote packed (subject-row, local-diagonal-bin) cells; return this
     shard's top-N proposals per query frame: (gsid, lbin, votes), each
@@ -152,6 +163,11 @@ def vote_and_rank(
             f"packed vote keys overflow int32: {S} subjects x {nbins} bins; "
             "use more shards or a wider band"
         )
+    if chain_gamma and chain_gamma * S * nbins + M >= (1 << 31):
+        raise ValueError(
+            f"chain_gamma={chain_gamma} overflows the (max,+) chain scan "
+            f"for {S} subjects x {nbins} bins; use more shards"
+        )
     if use_sort_kernel:
         from ghostm_tpu.kernels.sort import sort_rows
         sorted_keys = sort_rows(keys, presorted_run=presorted_run)
@@ -160,6 +176,7 @@ def vote_and_rank(
     fn = functools.partial(
         _per_query, nbins=nbins, ncand=ncand,
         min_votes=max(min_votes, 1), smooth=smooth,
+        chain_gamma=chain_gamma,
     )
     top_keys, votes = jax.vmap(fn)(sorted_keys)
     top_row = jnp.clip(top_keys // nbins, 0, S - 1)

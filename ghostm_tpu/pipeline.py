@@ -42,6 +42,7 @@ def run_search(
 ) -> int:
     cfg = engine.cfg
     snames = _subject_names(engine.index)
+    db_seqs = sum(sh.store.num_subjects for sh in engine.index.shards)
     metrics = MetricsLog()
     checkpointing = cfg.checkpoint_batches > 0
     parts_dir = output + ".parts"
@@ -81,7 +82,7 @@ def run_search(
             with open(part + ".tmp", "w") as f:
                 rows = write_hits(
                     f, cfg, names, lens, snames, hits, stats,
-                    engine.index.total_residues,
+                    engine.index.total_residues, db_seqs,
                 )
             os.replace(part + ".tmp", part)
             with open(cursor_path, "w") as f:
@@ -89,7 +90,7 @@ def run_search(
         else:
             rows = write_hits(
                 out_f, cfg, names, lens, snames, hits, stats,
-                engine.index.total_residues,
+                engine.index.total_residues, db_seqs,
             )
         wall = time.time() - t0
         n_aln = R * NFRAMES * cfg.candidates_per_frame
@@ -112,6 +113,9 @@ def run_search(
                 continue
             t0 = time.time()
             qcodes = engine.translate(dna, lens)
+            if cfg.check and use_async:
+                # checkify debug pass (raises on OOB/NaN; SURVEY.md §5.2)
+                engine.search_batch_checked(qcodes)
             if use_async:
                 payload = engine.search_refine_async(qcodes)
             else:

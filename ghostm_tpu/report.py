@@ -140,6 +140,7 @@ def write_hits(
     hits,          # engine.BatchHits
     stats: Dict[str, np.ndarray],
     db_residues: int,
+    db_seqs: int = 0,
 ) -> int:
     """Append m8 rows for one batch; returns number of rows written.
 
@@ -149,7 +150,7 @@ def write_hits(
     """
     R, K = hits.score.shape
     nR = min(R, len(read_names))
-    lam, kk = cfg.ka_lambda, cfg.ka_k
+    lam, kk, kh = cfg.ka_params()
     # Vectorised column computation + filter; the Python loop below only
     # formats the few surviving rows (the per-(r,k) loop with 1-element
     # numpy calls cost ~0.45 s per 4096-read batch — ~50x this path).
@@ -157,8 +158,11 @@ def write_hits(
     # per-row code, so the formatted text is identical.
     sc = hits.score[:nR].astype(np.int64)
     qlen_aa = np.maximum(read_lens[:nR].astype(np.int64) // 3, 1)
+    # BLAST effective-length correction when H and the sequence count are
+    # known (ops/evalue.py); plain K*m*n search space otherwise.
     e = ev.e_value(
-        sc.reshape(-1), np.repeat(qlen_aa, K), db_residues, lam, kk
+        sc.reshape(-1), np.repeat(qlen_aa, K), db_residues, lam, kk,
+        h=kh, db_seqs=db_seqs,
     ).reshape(nR, K)
     keep = (sc > 0) & (e <= cfg.evalue_cutoff)
     r_idx, k_idx = np.nonzero(keep)

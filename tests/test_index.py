@@ -75,3 +75,56 @@ def test_disk_roundtrip(tmp_path, rng):
     # padded region is sentinel
     sh0 = loaded.shards[0]
     assert (loaded.buffers[0, len(sh0.store.buffer):] == SENTINEL).all()
+
+
+def test_table_width_guard():
+    """Engine steps the aligned-table width down when bucket padding would
+    inflate the table past 2x the raw positions (VERDICT r01 weak #4)."""
+    import numpy as np
+
+    from ghostm_tpu.config import Config
+    from ghostm_tpu.engine import SearchEngine
+    from ghostm_tpu.index import diskio, seeds, store
+    from ghostm_tpu.ops.encode import encode_aa
+
+    rng = np.random.default_rng(0)
+    aas = "ARNDCQEGHILKMFPSTWYV"
+    # many subjects with DIVERSE k-mers: most buckets hold 1-3 positions,
+    # so a 64-wide row pads ~20-60x — the guard must step down to 32
+    records = [
+        (f"s{i}", "".join(rng.choice(list(aas), 40)).encode())
+        for i in range(150)
+    ]
+    cfg = Config(seed_len=4, hits_per_seed=64, query_batch=128)
+    keep = seeds.global_bucket_truncation(
+        [encode_aa(s) for _, s in records], cfg.seed_len, cfg.hits_per_seed
+    )
+    st = store.build_store(records, cfg.sentinel_pad,
+                           subject_ids=list(range(len(records))))
+    kb = np.zeros(len(st.buffer), dtype=bool)
+    for r in range(len(records)):
+        kb[st.starts[r]: st.starts[r] + len(keep[r])] = keep[r]
+    shard = diskio.IndexShard(
+        st, seeds.build_seed_index(st.buffer, cfg.seed_len, kb)
+    )
+    index = diskio.stack_shards([shard], cfg.seed_len)
+    eng = SearchEngine(cfg, index, use_pallas=False)
+    assert eng._table_width == 32
+    assert eng._padded_total(32) < eng._padded_total(64)
+    # a dense index (few fat buckets) keeps the full-expansion width
+    records2 = [("t0", (b"ACDEFGHIKL" * 400))] * 4
+    records2 = [(f"t{i}", s) for i, (_, s) in enumerate(records2)]
+    keep2 = seeds.global_bucket_truncation(
+        [encode_aa(s) for _, s in records2], cfg.seed_len, cfg.hits_per_seed
+    )
+    st2 = store.build_store(records2, cfg.sentinel_pad,
+                            subject_ids=list(range(4)))
+    kb2 = np.zeros(len(st2.buffer), dtype=bool)
+    for r in range(4):
+        kb2[st2.starts[r]: st2.starts[r] + len(keep2[r])] = keep2[r]
+    shard2 = diskio.IndexShard(
+        st2, seeds.build_seed_index(st2.buffer, cfg.seed_len, kb2)
+    )
+    index2 = diskio.stack_shards([shard2], cfg.seed_len)
+    eng2 = SearchEngine(cfg, index2, use_pallas=False)
+    assert eng2._table_width == 64

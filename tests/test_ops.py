@@ -90,3 +90,40 @@ def test_evalue_monotone():
     assert e[0] > e[1] > 0
     b = evalue.bit_score(np.array([60]), 0.267, 0.041)
     assert 26 < b[0] < 28  # (0.267*60 - ln 0.041)/ln2 ~ 27.7
+
+
+def test_ka_params_published_values():
+    """Pin (lambda, K, H) to the published NCBI BLAST BLOSUM62 table
+    (blast_stat.c BLOSUM62_VALUES) for the common gap settings."""
+    assert evalue.params_for("BLOSUM62", 11, 1) == (0.267, 0.041, 0.14)
+    assert evalue.params_for("BLOSUM62", 12, 1) == (0.283, 0.059, 0.19)
+    assert evalue.params_for("BLOSUM62", 10, 1) == (0.243, 0.024, 0.10)
+    assert evalue.params_for("BLOSUM62", 11, 2) == (0.297, 0.082, 0.27)
+    with pytest.raises(ValueError):
+        evalue.params_for("BLOSUM62", 5, 5)
+    from ghostm_tpu.config import Config
+    with pytest.raises(ValueError):
+        Config(gap_open=5, gap_extend=5)
+    assert Config().ka_params() == (0.267, 0.041, 0.14)
+    # explicit overrides win (mirroring a reference run's constants)
+    assert Config(ka_lambda=0.3, ka_k=0.05).ka_params()[:2] == (0.3, 0.05)
+
+
+def test_evalue_length_adjustment():
+    """BLAST finite-size correction: effective lengths shrink the search
+    space (E smaller), are floored at 1/K for short queries, and the
+    adjustment grows with the database."""
+    lam, k, h = 0.267, 0.041, 0.14
+    raw = np.array([50])
+    qlen = np.array([33])
+    n, nseq = 26778, 100
+    e_plain = evalue.e_value(raw, qlen, n, lam, k)
+    e_corr = evalue.e_value(raw, qlen, n, lam, k, h=h, db_seqs=nseq)
+    assert 0 < e_corr[0] < e_plain[0]
+    ell = evalue.length_adjustment(k, h, np.array([33.0]), n, nseq)
+    assert 0 < ell[0] < n / nseq
+    # short query saturates at the 1/K floor: E uses m_eff = 1/K
+    want = k * (1.0 / k) * max(n - nseq * ell[0], 1.0 / k) * np.exp(-lam * 50)
+    np.testing.assert_allclose(e_corr[0], want, rtol=1e-12)
+    ell_big = evalue.length_adjustment(k, h, np.array([500.0]), 1e9, 100000)
+    assert ell_big[0] > ell[0]
