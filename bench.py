@@ -37,7 +37,7 @@ import numpy as np
 
 OPS_PER_CELL = 36.0     # counted from kernels/sw_fused.py step body
 SPEC_VPU_OPS = 8 * 128 * 4 * 0.94e9   # v5e nominal elem-ops/s
-SCAN_LEN = 32
+SCAN_LEN = 8
 
 
 def _bench_call(f, reps=5):
@@ -69,9 +69,12 @@ def measure_vpu_rate():
 
         def body(i, c):
             a, b = c
-            for _ in range(UNROLL):
-                a = a + 1                  # 1 op
-                b = jnp.maximum(b, a)      # 1 op
+            for _ in range(UNROLL // 2):
+                # interleaved xor+add chain: non-affine, so neither the
+                # unrolled body nor the loop can be strength-reduced
+                # (plain add/max chains fold — measured 139e12 "ops/s")
+                a = a ^ (b + 1)            # 2 ops
+                b = b ^ (a + 1)            # 2 ops
             return a, b
 
         a, b = jax.lax.fori_loop(0, ITERS // UNROLL, body, (a, b))
@@ -92,42 +95,44 @@ def measure_vpu_rate():
 
 
 def bench_fused_kernel():
-    """Engine-operative fused SW path at config-2 shapes, scan-amortised."""
+    """Engine-operative fused SW path at config-2 shapes.
+
+    Timing: SCAN_LEN asynchronously-queued executions per sync (JAX
+    dispatch is async; the device runs them back to back) — a large N
+    keeps the per-execution tunnel-RPC cost to ~10% of device time.
+    (A lax.scan-of-pallas variant amortises dispatch perfectly but its
+    remote Mosaic compile exceeds the bench budget on this tunnel.)"""
     import jax
     import jax.numpy as jnp
-    from jax import lax
 
     from ghostm_tpu.kernels import sw_fused
     from ghostm_tpu.ops.scoring import padded_matrix
 
-    N, Lq, B = 8192, 40, 32   # the engine's align chunk for config 2
+    N, Lq, B = 65536, 40, 32   # config-2 align shapes
     words, climit = sw_fused.build_packed_matrix(padded_matrix())
-    key = jax.random.PRNGKey(0)
-    qs0 = jax.random.randint(key, (N, Lq), 0, 20, jnp.int32)
+    qs = jax.random.randint(jax.random.PRNGKey(0), (N, Lq), 0, 20,
+                            jnp.int32)
     ws = jax.random.randint(jax.random.PRNGKey(1), (N, Lq + B), 0, 20,
                             jnp.int32)
     lo = jnp.zeros(N, jnp.int32)
     hi = jnp.full(N, 1 << 20, jnp.int32)
 
-    @jax.jit
-    def loop(qs0):
-        def body(c, _):
-            qs, acc = c
-            s, ie, be = sw_fused.sw_fused_wave(
-                qs, ws, words, lo, hi, 11, 1, B, code_limit=climit
-            )
-            # chain a data dependency through the carry so every scan
-            # iteration performs a real, distinct kernel execution
-            qs = (qs + (s[0] & 1) + 1) % 20
-            return (qs, acc + s[0]), None
+    def red():
+        s, ie, be = sw_fused.sw_fused_wave(
+            qs, ws, words, lo, hi, 11, 1, B, code_limit=climit
+        )
+        return jnp.sum(s)
 
-        (qs, acc), _ = lax.scan(body, (qs0, jnp.int32(0)), None,
-                                length=SCAN_LEN)
-        return acc
-
-    dt = _bench_call(lambda: loop(qs0))
-    cells = SCAN_LEN * N * Lq * B
-    return cells / dt / 1e9
+    np.asarray(red())   # compile (cached across runs)
+    best = float("inf")
+    for _ in range(3):
+        t = time.time()
+        acc = jnp.int32(0)
+        for _ in range(SCAN_LEN):
+            acc = acc + red()
+        np.asarray(acc)
+        best = min(best, (time.time() - t) / SCAN_LEN)
+    return N * Lq * B / best / 1e9
 
 
 def bench_end_to_end():
@@ -188,9 +193,13 @@ def main():
     _enable_compile_cache()
     t0 = time.time()
     vpu_ops = measure_vpu_rate()
+    print(f"# vpu rate: {vpu_ops/1e12:.2f}e12 ({time.time()-t0:.0f}s)",
+          file=sys.stderr, flush=True)
     roofline = vpu_ops / OPS_PER_CELL / 1e9
     spec_roofline = SPEC_VPU_OPS / OPS_PER_CELL / 1e9
     fused_gcups = bench_fused_kernel()
+    print(f"# fused: {fused_gcups:.1f} GCUPS ({time.time()-t0:.0f}s)",
+          file=sys.stderr, flush=True)
     reads_per_s, max_score = bench_end_to_end()
     out = {
         "metric": "sw_gcups",

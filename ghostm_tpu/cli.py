@@ -112,9 +112,10 @@ def cmd_aln(args) -> int:
     )
     mesh = None
     if cfg.data_axis * cfg.db_axis > 1 or args.num_processes:
-        from ghostm_tpu.parallel.mesh import init_distributed, make_mesh
+        from ghostm_tpu.parallel.mesh import make_mesh
 
-        init_distributed(args.coordinator, args.num_processes, args.process_id)
+        # jax.distributed.initialize already ran in main() (it must precede
+        # any backend-initialising JAX call)
         mesh = make_mesh(cfg.data_axis, cfg.db_axis)
     index = load_index(args.db)
     if cfg.seed_len != index.seed_len:
@@ -193,6 +194,21 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if getattr(args, "num_processes", None):
+        # must run before ANY backend-initialising JAX call
+        import jax
+
+        if args.cpu:
+            try:  # CPU multi-process collectives run over gloo
+                jax.config.update(
+                    "jax_cpu_collectives_implementation", "gloo"
+                )
+            except Exception:
+                pass
+        from ghostm_tpu.parallel.mesh import init_distributed
+
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
     _enable_compile_cache()
     if args.debug_nans:
         import jax

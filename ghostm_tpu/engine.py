@@ -872,6 +872,43 @@ class SearchEngine:
         stats["score_check"] = out["score_check"]
         return hits, stats
 
+    def search_batch_stats_local(self, qcodes: np.ndarray):
+        """Multi-process mesh path (SURVEY.md config 4): run the same
+        compiled step, but fetch only the rows THIS process holds.
+        Outputs are data-sharded and db-replicated; taking each row
+        block's replica 0 means every global row is returned by exactly
+        one process. Returns [(row_start, BatchHits, stats)] sorted by
+        row_start — the pipeline writes row-addressed result parts."""
+        assert self.mesh is not None
+        R = qcodes.shape[0]
+        qflat_np = qcodes.reshape(R * NFRAMES, self.cfg.query_frame_len)
+        d = self.shard_dev[0]
+        out = self._dist_step(
+            jax.device_put(qflat_np, self._qsharding),
+            d["buffer"], d["bucket_starts"], d["tab_main"],
+            d["tab_aux"], d["starts"], d["subject_ids"], d["lengths"],
+            self.matrix,
+        )
+
+        def blocks(arr):
+            b = {}
+            for sh in arr.addressable_shards:
+                if sh.replica_id == 0:
+                    b[sh.index[0].start or 0] = np.asarray(sh.data)
+            return b
+
+        per = {k: blocks(v) for k, v in out.items()}
+        res = []
+        for st0 in sorted(per["score"]):
+            hits = BatchHits(
+                **{k: per[k][st0] for k in BatchHits.__dataclass_fields__}
+            )
+            stats = {k: per["qend_s" if k == "qend" else k][st0]
+                     for k in self.STAT_KEYS}
+            stats["score_check"] = per["score_check"][st0]
+            res.append((st0, hits, stats))
+        return res
+
     # ------------------------------------------------------------------
     STAT_KEYS = ("qstart", "qend", "sstart", "send", "length", "matches",
                  "mismatch", "gapopen")

@@ -68,23 +68,68 @@ def run_search(
     # formatting + write. The mesh path stays synchronous (its outputs are
     # process-sharded global arrays).
     use_async = getattr(engine, "mesh", None) is None
+    try:
+        import jax
+        multiproc = jax.process_count() > 1
+    except Exception:
+        multiproc = False
+    if multiproc:
+        # config 4 (SURVEY.md §3.3): every process streams the same input;
+        # outputs are data-sharded, so each process writes ROW-ADDRESSED
+        # result parts for the rows it holds (replica-0 dedupe in
+        # engine.search_batch_stats_local). Parts sort lexicographically
+        # into global row order; process 0 concatenates after a barrier.
+        if not checkpointing:
+            raise ValueError(
+                "multi-process runs need checkpoint_batches > 0 "
+                "(per-batch row-addressed result parts)"
+            )
+        cursor_path = os.path.join(
+            parts_dir, f"cursor-p{jax.process_index()}.json"
+        )
+        if resume and os.path.exists(cursor_path):
+            with open(cursor_path) as f:
+                done = json.load(f)["completed_batches"]
+            log.info("resuming after %d completed batches", done)
     pending = None  # (bi, names, lens, nreads, R, dev_or_(hits, stats), t0)
+
+    def _write_part(part, names, lens, hits, stats):
+        with open(part + ".tmp", "w") as f:
+            rows = write_hits(
+                f, cfg, names, lens, snames, hits, stats,
+                engine.index.total_residues, db_seqs,
+            )
+        os.replace(part + ".tmp", part)
+        return rows
 
     def _flush(p):
         nonlocal total_rows
         bi, names, lens, nreads, R, payload, t0 = p
+        if multiproc:
+            rows = 0
+            for st0, hits, stats in payload:
+                r_loc = hits.score.shape[0]
+                part = os.path.join(
+                    parts_dir, f"part-{bi:06d}-r{st0:08d}.tsv"
+                )
+                rows += _write_part(
+                    part, names[st0 : st0 + r_loc],
+                    lens[st0 : st0 + r_loc], hits, stats,
+                )
+            with open(cursor_path, "w") as f:
+                json.dump({"completed_batches": bi + 1}, f)
+            wall = time.time() - t0
+            m = BatchMetrics(nreads, wall, 0, rows)
+            metrics.add(m)
+            total_rows += rows
+            return
         if use_async:
             hits, stats = engine.unpack_results(np.asarray(payload))
         else:
             hits, stats = payload
         if checkpointing:
             part = os.path.join(parts_dir, f"part-{bi:06d}.tsv")
-            with open(part + ".tmp", "w") as f:
-                rows = write_hits(
-                    f, cfg, names, lens, snames, hits, stats,
-                    engine.index.total_residues, db_seqs,
-                )
-            os.replace(part + ".tmp", part)
+            rows = _write_part(part, names, lens, hits, stats)
             with open(cursor_path, "w") as f:
                 json.dump({"completed_batches": bi + 1}, f)
         else:
@@ -118,6 +163,8 @@ def run_search(
                 engine.search_batch_checked(qcodes)
             if use_async:
                 payload = engine.search_refine_async(qcodes)
+            elif multiproc:
+                payload = engine.search_batch_stats_local(qcodes)
             else:
                 # mesh path: hits AND refine stats from ONE compiled step
                 payload = engine.search_batch_stats(qcodes)
@@ -130,7 +177,15 @@ def run_search(
             _flush(pending)
             pending = None
         if checkpointing:
-            # concatenate parts into the final output
+            if multiproc:
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("ghostm_tpu_parts_done")
+                if jax.process_index() != 0:
+                    log.info("process %d: parts written", jax.process_index())
+                    return total_rows
+            # concatenate parts into the final output (row-addressed part
+            # names sort lexicographically into global row order)
             with open(output, "w") as f:
                 f.write(M8_HEADER + "\n")
                 for p in sorted(os.listdir(parts_dir)):

@@ -91,3 +91,68 @@ def test_two_process_equivalence(tmp_path):
                 pytest.skip(f"jax.distributed CPU unsupported here: {out[-400:]}")
             raise AssertionError(f"worker failed:\n{out}")
     assert all("ok" in o for o in outs)
+
+
+def test_two_process_cli_run(tmp_path):
+    """Config-4 shape end-to-end through the CLI: two jax.distributed CPU
+    processes, data axis across processes, row-addressed result parts ->
+    final TSV identical to a single-process mesh run."""
+    from tools.simulate import make_dataset
+    import json as _json
+
+    db_fa, reads_fa = make_dataset(
+        str(tmp_path / "mp"), n_proteins=30, n_reads=32, read_len=100,
+        seed=9,
+    )
+    prefix = str(tmp_path / "idx")
+    cfgf = str(tmp_path / "cfg.json")
+    with open(cfgf, "w") as f:
+        _json.dump({"query_batch": 16, "checkpoint_batches": 1,
+                    "max_hits": 5}, f)
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    r = subprocess.run(
+        [sys.executable, "-m", "ghostm_tpu", "db", "-i", db_fa, "-o",
+         prefix, "--config", cfgf],
+        capture_output=True, env=env, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+
+    # single-process mesh reference (2 virtual devices)
+    ref = str(tmp_path / "ref.tsv")
+    base = ["-m", "ghostm_tpu", "aln", "-d", prefix, "-i", reads_fa,
+            "--config", cfgf, "--no-pallas", "--data-axis", "2",
+            "--db-axis", "1"]
+    r = subprocess.run(
+        [sys.executable] + base + ["-o", ref, "--cpu", "2"],
+        capture_output=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+
+    out = str(tmp_path / "mp.tsv")
+    coord = f"127.0.0.1:{_free_port()}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable] + base + [
+                "-o", out, "--cpu", "1", "--coordinator", coord,
+                "--num-processes", "2", "--process-id", str(pid),
+            ],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            o, _ = p.communicate(timeout=240)
+            outs.append(o.decode())
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("multi-process jax.distributed timed out in this env")
+    for p, o in zip(procs, outs):
+        if p.returncode != 0:
+            if "UNIMPLEMENTED" in o or "gloo" in o.lower():
+                pytest.skip(f"jax.distributed CPU unsupported: {o[-300:]}")
+            raise AssertionError(f"CLI worker failed:\n{o[-1500:]}")
+    assert open(out).read() == open(ref).read()
