@@ -7,24 +7,28 @@ for query_frame_len=40 (VERDICT r01 item 2: the headline must be the
 kernel the flagship config actually runs). `fused_step_gcups` is the same
 quantity kept for cross-round continuity.
 
-Timing protocol: the kernel is looped INSIDE one jit via lax.scan with a
-data dependency chained through the carry. Per-dispatch latency on the
-axon tunnel is 1-2 ms (measured: `x + 1` on a 15 MB array "costs" 2.2 ms
-dispatched, microseconds of device time), which used to dominate sub-5 ms
-measurements; one dispatch now amortises over SCAN_LEN kernel executions.
+Timing protocol: per-execution RPC latency on the axon tunnel is 1-2 ms
+(measured: `x + 1` on a 15 MB array "costs" 2.2 ms dispatched,
+microseconds of device time), so each measurement queues SCAN_LEN
+executions asynchronously per sync at a large N (~13 ms device work per
+call), bounding the dispatch tax to ~10%. block_until_ready does not
+reliably wait on this backend — sync is a scalar-reduction fetch.
+Synthetic probes are untrustworthy here (zero-arg closures constant-fold
+the whole pallas_call at compile time; add/max chains strength-reduce —
+both produced >100e12 "ops/s" before being caught), so the roofline is
+the SPEC ceiling, not a measured proxy:
 
-Roofline (VERDICT r01 item 9 — the r01 roofline was a self-referential
-load/op/store chain at 0.58e12 elem-ops/s; in-register kernels measurably
-exceed it). Two ceilings, both reported:
-  * roofline_gcups (proxy, used for vs_baseline): sustained in-register
-    VPU rate MEASURED each run by a register-resident add/max chain
-    pallas kernel (`vpu_rate`), divided by the fused kernel's ~36
-    elem-ops/cell (counted from the step body in kernels/sw_fused.py:
-    2 half-steps x (extract ~9 + Gotoh DP ~11) + slab maintenance ~5 +
-    select-tree/loads ~3, in units of per-cell elementwise int ops).
-  * spec_roofline_gcups: nominal v5e VPU issue width — 8 sublanes x 128
-    lanes x 4 ALUs x 0.94 GHz = 3.85e12 elem-ops/s — over the same
-    ops/cell. The gap between the two is documented in docs/DESIGN.md.
+  roofline_gcups = v5e nominal VPU issue width (8 sublanes x 128 lanes
+  x 4 ALUs x 0.94 GHz = 3.85e12 elem-ops/s) / ~36 elem-ops/cell counted
+  from the kernels/sw_fused.py step body (2 half-steps x (extract ~9 +
+  Gotoh DP ~11) + slab maintenance ~5 + select-tree/loads ~3). Pallas
+  compiles to one opaque Mosaic custom call, so compiled-HLO op counting
+  stops at the kernel boundary — the source count is the honest basis
+  (BASELINE.md protocol, adapted; see docs/DESIGN.md).
+
+vs_baseline is kernel_gcups (the DP kernel proper, pre-prepped inputs)
+over that roofline — the BASELINE "within 1.5x of per-chip roofline"
+target is defined on the SW kernel; `value` stays the operative path.
 """
 
 import functools
@@ -41,57 +45,76 @@ SCAN_LEN = 8
 
 
 def _bench_call(f, reps=5):
-    """Best-of wall time of one blocking call to a pre-compiled jit fn."""
+    """Best-of wall time of one call, synced by fetching a scalar
+    reduction (block_until_ready does not reliably wait on the axon
+    tunnel backend — docs/DESIGN.md measurement notes)."""
     import jax
+    import jax.numpy as jnp
 
-    jax.block_until_ready(f())
+    red = lambda: np.asarray(
+        jnp.sum(jax.tree_util.tree_leaves(f())[0].astype(jnp.int32))
+    )
+    red()
     best = float("inf")
     for _ in range(reps):
         t = time.time()
-        jax.block_until_ready(f())
+        red()
         best = min(best, time.time() - t)
     return best
 
 
-def measure_vpu_rate():
-    """In-register VPU elem-ops/s via a chained add/max pallas kernel."""
+def bench_kernel_only():
+    """The fused DP kernel PROPER (pre-prepped inputs, bare pallas_call) —
+    the quantity the BASELINE roofline target ("within 1.5x of per-chip
+    roofline") is defined on."""
+    import functools as ft
+
     import jax
     import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
-    ROWS, COLS, ITERS, UNROLL, GRID = 32, 512, 4096, 8, 64
+    from ghostm_tpu.kernels import sw_fused
+    from ghostm_tpu.ops.scoring import padded_matrix
 
-    def kernel(o_ref):
-        g = pl.program_id(0)
-        a = jnp.full((ROWS, COLS), g, jnp.int32)
-        b = jnp.zeros((ROWS, COLS), jnp.int32)
+    N, Lq, B = 65536, 40, 32
+    h = B // 2
+    A = Lq + h - 1
+    atile = -(-A // sw_fused.UNROLL) * sw_fused.UNROLL
+    Ap = atile
+    SH = int(Ap + 2 * h).bit_length()
+    W = sw_fused.DEFAULT_WIDTH
+    G = N // W
+    words, climit = sw_fused.build_packed_matrix(padded_matrix())
+    key = jax.random.PRNGKey
+    qrow_t = jax.random.randint(key(0), (G, Ap, W), 0, 20, jnp.int32)
+    wins_t = jax.random.randint(key(1), (G, Ap, W), 0, 20, jnp.int32)
+    whead_t = jax.random.randint(key(2), (G, h, W), 0, 20, jnp.int32)
+    fn = jax.jit(ft.partial(
+        sw_fused.kernel_call, packed_words=words, band=B, gap_open=11,
+        gap_extend=1, atile=atile, pack_shift=SH, code_limit=climit,
+        cells=N * Lq * B,
+    ))
+    cells = N * Lq * B
+    dt = _chained(lambda: fn(qrow_t, wins_t, whead_t))
+    return cells / dt / 1e9
 
-        def body(i, c):
-            a, b = c
-            for _ in range(UNROLL // 2):
-                # interleaved xor+add chain: non-affine, so neither the
-                # unrolled body nor the loop can be strength-reduced
-                # (plain add/max chains fold — measured 139e12 "ops/s")
-                a = a ^ (b + 1)            # 2 ops
-                b = b ^ (a + 1)            # 2 ops
-            return a, b
 
-        a, b = jax.lax.fori_loop(0, ITERS // UNROLL, body, (a, b))
-        o_ref[0] = a + b
+def _chained(f, reps=None):
+    """Per-call time over SCAN_LEN asynchronously queued executions."""
+    import jax
+    import jax.numpy as jnp
 
-    f = jax.jit(lambda: pl.pallas_call(
-        kernel,
-        grid=(GRID,),
-        out_specs=pl.BlockSpec((1, ROWS, COLS), lambda g: (g, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((GRID, ROWS, COLS), jnp.int32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-    )())
-    dt = _bench_call(f)
-    return 2 * ROWS * COLS * ITERS * GRID / dt
+    reps = reps or SCAN_LEN
+    red = lambda: jnp.sum(jax.tree_util.tree_leaves(f())[0].astype(jnp.int32))
+    np.asarray(red())
+    best = float("inf")
+    for _ in range(3):
+        t = time.time()
+        acc = jnp.int32(0)
+        for _ in range(reps):
+            acc = acc + red()
+        np.asarray(acc)
+        best = min(best, (time.time() - t) / reps)
+    return best
 
 
 def bench_fused_kernel():
@@ -176,15 +199,23 @@ def bench_end_to_end():
         c = encode_dna(rd)
         dna[i, : len(c)] = c
         lens[i] = len(c)
+    # the pipeline's operative path: async dispatch of search+refine with
+    # the previous batch's packed fetch overlapping device work
+    # (ghostm_tpu.pipeline.run_search's software pipelining)
     qc = eng.translate(dna, lens)
-    hits = eng.search_batch(qc)           # warmup (compile)
+    first = np.asarray(eng.search_refine_async(qc))   # warmup (compile)
     t = time.time()
-    reps = 3
+    reps = 4
+    pending = None
     for _ in range(reps):
         qc = eng.translate(dna, lens)
-        hits = eng.search_batch(qc)
+        pay = eng.search_refine_async(qc)
+        if pending is not None:
+            np.asarray(pending)
+        pending = pay
+    last = np.asarray(pending)
     dt = (time.time() - t) / reps
-    return R / dt, int(hits.score.max())
+    return R / dt, int(last[0].max())
 
 
 def main():
@@ -192,11 +223,10 @@ def main():
 
     _enable_compile_cache()
     t0 = time.time()
-    vpu_ops = measure_vpu_rate()
-    print(f"# vpu rate: {vpu_ops/1e12:.2f}e12 ({time.time()-t0:.0f}s)",
-          file=sys.stderr, flush=True)
-    roofline = vpu_ops / OPS_PER_CELL / 1e9
     spec_roofline = SPEC_VPU_OPS / OPS_PER_CELL / 1e9
+    kernel_gcups = bench_kernel_only()
+    print(f"# kernel-only: {kernel_gcups:.1f} GCUPS ({time.time()-t0:.0f}s)",
+          file=sys.stderr, flush=True)
     fused_gcups = bench_fused_kernel()
     print(f"# fused: {fused_gcups:.1f} GCUPS ({time.time()-t0:.0f}s)",
           file=sys.stderr, flush=True)
@@ -205,10 +235,11 @@ def main():
         "metric": "sw_gcups",
         "value": round(fused_gcups, 2),
         "unit": "GCUPS",
-        "vs_baseline": round(fused_gcups / roofline, 4),
-        "roofline_gcups": round(roofline, 1),
-        "spec_roofline_gcups": round(spec_roofline, 1),
-        "vpu_elem_ops_per_s": round(vpu_ops / 1e12, 3),
+        # the BASELINE roofline target is defined on the DP kernel proper;
+        # `value` stays the operative end-to-end path (VERDICT r01 item 2)
+        "vs_baseline": round(kernel_gcups / spec_roofline, 4),
+        "kernel_gcups": round(kernel_gcups, 2),
+        "roofline_gcups": round(spec_roofline, 1),
         "fused_step_gcups": round(fused_gcups, 2),
         "reads_per_s": round(reads_per_s, 1),
         "bench_wall_s": round(time.time() - t0, 1),

@@ -306,21 +306,56 @@ def sw_fused_wave(
     wins_t = jnp.transpose(wins.reshape(G, W, Ap), (0, 2, 1))
     whead_t = jnp.transpose(w32[:, :h].reshape(G, W, h), (0, 2, 1))
 
+    pe, po = kernel_call(
+        qrow_t, wins_t, whead_t, packed_words,
+        band=B, gap_open=gap_open, gap_extend=gap_extend, atile=atile,
+        pack_shift=SH, code_limit=code_limit, cells=N * Lq * B,
+        interpret=interpret,
+    )
+    pk = jnp.stack([pe, po], axis=2).reshape(G, B, W)
+    pk = jnp.moveaxis(pk, -1, 1).reshape(N, B)
+    bH = pk >> SH
+    bI = ((1 << SH) - 1) - (pk & ((1 << SH) - 1)) - h
+    bI = jnp.where(bH > 0, bI, 0)
+    return _finalize(bH, bI, B)
+
+
+def kernel_call(
+    qrow_t: jnp.ndarray,   # (G, Ap, W) int32 transposed query rows
+    wins_t: jnp.ndarray,   # (G, Ap, W) int32 transposed window inserts
+    whead_t: jnp.ndarray,  # (G, h, W) int32 initial window slab
+    packed_words: tuple,
+    *,
+    band: int,
+    gap_open: int,
+    gap_extend: int,
+    atile: int,
+    pack_shift: int,
+    code_limit: int,
+    cells: int,
+    interpret: bool = False,
+):
+    """The bare pallas_call on pre-prepped tensors — exposed so bench.py
+    can measure the DP kernel proper (the BASELINE roofline target)
+    separately from the XLA-side prep."""
+    G, Ap, W = qrow_t.shape
+    h = band // 2
+    AT = Ap // atile
     kernel = functools.partial(
         _fused_kernel,
         atile=atile,
-        band=B,
+        band=band,
         go1=gap_open + gap_extend,
         ge=gap_extend,
         n_a_tiles=AT,
         width=W,
-        pack_shift=SH,
+        pack_shift=pack_shift,
         code_limit=code_limit,
         words=packed_words,
     )
     out_spec = pl.BlockSpec((1, h, W), lambda g, at: (g, 0, 0),
                             memory_space=pltpu.VMEM)
-    pe, po = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(G, AT),
         in_specs=[
@@ -338,15 +373,9 @@ def sw_fused_wave(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=36 * N * Lq * B,
-            bytes_accessed=N * (Ap * 8 + h * 4),
+            flops=36 * cells,
+            bytes_accessed=G * W * (Ap * 8 + h * 4),
             transcendentals=0,
         ),
         interpret=interpret,
     )(qrow_t, wins_t, whead_t)
-    pk = jnp.stack([pe, po], axis=2).reshape(G, B, W)
-    pk = jnp.moveaxis(pk, -1, 1).reshape(N, B)
-    bH = pk >> SH
-    bI = ((1 << SH) - 1) - (pk & ((1 << SH) - 1)) - h
-    bI = jnp.where(bH > 0, bI, 0)
-    return _finalize(bH, bI, B)
