@@ -62,6 +62,11 @@ MASK_CODE = 31  # window code for positionally-masked cells (>= code_limit)
 # Lane-block width: the fused kernel carries ~11 (h, W) state planes in its
 # loop; modest widths keep a band-32 state set near the register file.
 DEFAULT_WIDTH = 256
+# independent problem slices interleaved per kernel instance: the DP chain
+# is serial and its (h, W) operands span few vregs, so a single chain
+# issues ~1 instr/cycle; interleaving gives the scheduler IL independent
+# chains (measured on-chip before changing the default).
+DEFAULT_INTERLEAVE = 1
 UNROLL = 8
 NIBBLE_BIAS = 4  # packed nibble = score + 4; BLOSUM62 scores are in [-4, 11]
 
@@ -102,10 +107,10 @@ def build_packed_matrix(matrix: np.ndarray) -> Tuple[tuple, int]:
 
 
 def _fused_kernel(
-    qrow_ref,   # (1, ATILE, W) int32 query codes, row a entered at step a
-    wins_ref,   # (1, ATILE, W) int32 window-code insert rows w[a + h]
-    whead_ref,  # (1, h, W) int32 initial window slab w[0..h-1]
-    pe_ref, po_ref,                 # (1, h, W) packed (H << SH | inv-row)
+    qrow_ref,   # (1, IL, ATILE, W) int32 query codes, row a entered at step a
+    wins_ref,   # (1, IL, ATILE, W) int32 window-code insert rows w[a + h]
+    whead_ref,  # (1, IL, h, W) int32 initial window slab w[0..h-1]
+    pe_ref, po_ref,                 # (1, IL, h, W) packed (H << SH | inv)
     He_s, Ho_s, Eo_s, Fo_s, pe_s, po_s, W_s, P0_s, P1_s, P2_s, P3_s,
     *,
     atile: int,
@@ -117,29 +122,30 @@ def _fused_kernel(
     pack_shift: int,
     code_limit: int,
     words: tuple,   # (32, 4) nibble-word constants
+    il: int,        # interleaved independent problems per instance
 ):
     h = band // 2
     W = width
     SH = pack_shift
     at = pl.program_id(1)
     m_iota = jax.lax.broadcasted_iota(jnp.int32, (h, W), 0)
-    negv = jnp.full((h, W), NEG, jnp.int32)
+    negv = jnp.full((il, h, W), NEG, jnp.int32)
     negrow = jnp.full((1, W), NEG, jnp.int32)
 
     @pl.when(at == 0)
     def _():
-        He_s[:] = jnp.zeros((h, W), jnp.int32)
-        Ho_s[:] = jnp.zeros((h, W), jnp.int32)
+        He_s[:] = jnp.zeros((il, h, W), jnp.int32)
+        Ho_s[:] = jnp.zeros((il, h, W), jnp.int32)
         Eo_s[:] = negv
         Fo_s[:] = negv
-        pe_s[:] = jnp.zeros((h, W), jnp.int32)
-        po_s[:] = jnp.zeros((h, W), jnp.int32)
+        pe_s[:] = jnp.zeros((il, h, W), jnp.int32)
+        po_s[:] = jnp.zeros((il, h, W), jnp.int32)
         W_s[:] = whead_ref[0]
         # zero profile slab = "row not yet entered" (masked like LOW rows)
-        P0_s[:] = jnp.zeros((h, W), jnp.int32)
-        P1_s[:] = jnp.zeros((h, W), jnp.int32)
-        P2_s[:] = jnp.zeros((h, W), jnp.int32)
-        P3_s[:] = jnp.zeros((h, W), jnp.int32)
+        P0_s[:] = jnp.zeros((il, h, W), jnp.int32)
+        P1_s[:] = jnp.zeros((il, h, W), jnp.int32)
+        P2_s[:] = jnp.zeros((il, h, W), jnp.int32)
+        P3_s[:] = jnp.zeros((il, h, W), jnp.int32)
 
     def qwords(q8):
         """(8, W) query codes -> four (8, W) profile word planes via a
@@ -203,28 +209,41 @@ def _fused_kernel(
         )
         Ho = jnp.maximum(jnp.maximum(Ho + so, 0), jnp.maximum(Eo, Fo))
         po = jnp.maximum(po, (Ho << SH) | inv)
-        return He, Ho, Eo, Fo, pe, po, Wv, P0, P1, P2, P3, inv - 1
+        return He, Ho, Eo, Fo, pe, po, Wv, P0, P1, P2, P3
 
     a0 = at * atile
     inv0 = ((1 << SH) - 1) - (a0 - m_iota) - h
 
     def body(t, carry):
         # one sublane-aligned load per UNROLL-step group; profile words for
-        # the whole group are computed on full (UNROLL, W) registers
-        q8 = qrow_ref[0, pl.ds(t * UNROLL, UNROLL)]    # (UNROLL, W)
-        wi8 = wins_ref[0, pl.ds(t * UNROLL, UNROLL)]   # (UNROLL, W)
-        Q8 = qwords(q8)
+        # the whole group are computed on full (UNROLL, W) registers.
+        # The il problems are INDEPENDENT: interleaving their steps gives
+        # the scheduler il dependency-free chains per issue slot.
+        states, inv = carry
+        Q8s, wi8s = [], []
+        for i in range(il):
+            q8 = qrow_ref[0, i, pl.ds(t * UNROLL, UNROLL)]   # (UNROLL, W)
+            wi8s.append(wins_ref[0, i, pl.ds(t * UNROLL, UNROLL)])
+            Q8s.append(qwords(q8))
         for u in range(UNROLL):
-            carry = one(u, Q8, wi8, carry)
-        return carry
+            states = tuple(
+                one(u, Q8s[i], wi8s[i], states[i] + (inv,))[:11]
+                for i in range(il)
+            )
+            inv = inv - 1
+        return states, inv
 
-    out = jax.lax.fori_loop(
-        0, atile // UNROLL, body,
-        (He_s[:], Ho_s[:], Eo_s[:], Fo_s[:], pe_s[:], po_s[:], W_s[:],
-         P0_s[:], P1_s[:], P2_s[:], P3_s[:], inv0),
+    init_states = tuple(
+        (He_s[i], Ho_s[i], Eo_s[i], Fo_s[i], pe_s[i], po_s[i], W_s[i],
+         P0_s[i], P1_s[i], P2_s[i], P3_s[i])
+        for i in range(il)
     )
-    (He_s[:], Ho_s[:], Eo_s[:], Fo_s[:], pe_s[:], po_s[:], W_s[:],
-     P0_s[:], P1_s[:], P2_s[:], P3_s[:]) = out[:11]
+    states, _ = jax.lax.fori_loop(
+        0, atile // UNROLL, body, (init_states, inv0)
+    )
+    for i in range(il):
+        (He_s[i], Ho_s[i], Eo_s[i], Fo_s[i], pe_s[i], po_s[i], W_s[i],
+         P0_s[i], P1_s[i], P2_s[i], P3_s[i]) = states[i]
 
     @pl.when(at == n_a_tiles - 1)
     def _():
@@ -236,7 +255,7 @@ def _fused_kernel(
     jax.jit,
     static_argnames=(
         "packed_words", "gap_open", "gap_extend", "band", "code_limit",
-        "a_tile", "lane_width", "interpret",
+        "a_tile", "lane_width", "interleave", "interpret",
     ),
 )
 def sw_fused_wave(
@@ -251,6 +270,7 @@ def sw_fused_wave(
     code_limit: int = 23,
     a_tile: int = 0,
     lane_width: int = 0,
+    interleave: int = 0,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched banded SW, scores fused in-kernel.
@@ -310,7 +330,7 @@ def sw_fused_wave(
         qrow_t, wins_t, whead_t, packed_words,
         band=B, gap_open=gap_open, gap_extend=gap_extend, atile=atile,
         pack_shift=SH, code_limit=code_limit, cells=N * Lq * B,
-        interpret=interpret,
+        interleave=interleave, interpret=interpret,
     )
     pk = jnp.stack([pe, po], axis=2).reshape(G, B, W)
     pk = jnp.moveaxis(pk, -1, 1).reshape(N, B)
@@ -333,6 +353,7 @@ def kernel_call(
     pack_shift: int,
     code_limit: int,
     cells: int,
+    interleave: int = 0,
     interpret: bool = False,
 ):
     """The bare pallas_call on pre-prepped tensors — exposed so bench.py
@@ -341,6 +362,11 @@ def kernel_call(
     G, Ap, W = qrow_t.shape
     h = band // 2
     AT = Ap // atile
+    il = interleave or DEFAULT_INTERLEAVE
+    while il > 1 and G % il:
+        il //= 2
+    G2 = G // il
+    r4 = lambda x: x.reshape(G2, il, *x.shape[1:])
     kernel = functools.partial(
         _fused_kernel,
         atile=atile,
@@ -352,23 +378,24 @@ def kernel_call(
         pack_shift=pack_shift,
         code_limit=code_limit,
         words=packed_words,
+        il=il,
     )
-    out_spec = pl.BlockSpec((1, h, W), lambda g, at: (g, 0, 0),
+    out_spec = pl.BlockSpec((1, il, h, W), lambda g, at: (g, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    pe, po = pl.pallas_call(
         kernel,
-        grid=(G, AT),
+        grid=(G2, AT),
         in_specs=[
-            pl.BlockSpec((1, atile, W), lambda g, at: (g, at, 0),
+            pl.BlockSpec((1, il, atile, W), lambda g, at: (g, 0, at, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, atile, W), lambda g, at: (g, at, 0),
+            pl.BlockSpec((1, il, atile, W), lambda g, at: (g, 0, at, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, W), lambda g, at: (g, 0, 0),
+            pl.BlockSpec((1, il, h, W), lambda g, at: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[out_spec] * 2,
-        out_shape=[jax.ShapeDtypeStruct((G, h, W), jnp.int32)] * 2,
-        scratch_shapes=[pltpu.VMEM((h, W), jnp.int32)] * 11,
+        out_shape=[jax.ShapeDtypeStruct((G2, il, h, W), jnp.int32)] * 2,
+        scratch_shapes=[pltpu.VMEM((il, h, W), jnp.int32)] * 11,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -378,4 +405,5 @@ def kernel_call(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(qrow_t, wins_t, whead_t)
+    )(r4(qrow_t), r4(wins_t), r4(whead_t))
+    return pe.reshape(G, h, W), po.reshape(G, h, W)

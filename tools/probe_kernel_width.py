@@ -1,5 +1,4 @@
-"""Dev probe: bare fused-kernel GCUPS vs lane width W (state-plane register
-pressure vs ILP) and UNROLL. All inputs on-device, chained-dispatch timing."""
+"""Dev probe: bare fused-kernel GCUPS vs (lane width W, interleave IL)."""
 
 import functools as ft
 import sys
@@ -43,7 +42,10 @@ SH = int(Ap + 2 * h).bit_length()
 words, climit = sw_fused.build_packed_matrix(padded_matrix())
 cells = N * Lq * B
 
-for W in (128, 256, 512, 1024):
+import itertools
+import os
+configs = os.environ.get('SWEEP', '256:2').split(',')
+for W, IL in [tuple(map(int, c.split(':'))) for c in configs]:
     G = N // W
     key = jax.random.PRNGKey
     qrow_t = jax.random.randint(key(0), (G, Ap, W), 0, 20, jnp.int32)
@@ -52,7 +54,9 @@ for W in (128, 256, 512, 1024):
     fn = jax.jit(ft.partial(
         sw_fused.kernel_call, packed_words=words, band=B, gap_open=11,
         gap_extend=1, atile=atile, pack_shift=SH, code_limit=climit,
-        cells=cells,
+        cells=cells, interleave=IL,
     ))
+    t0 = time.time()
     dt = chained(lambda: fn(qrow_t, wins_t, whead_t))
-    print(f"W={W}: {cells/dt/1e9:.1f} GCUPS ({dt*1e3:.2f} ms)", flush=True)
+    print(f"W={W} IL={IL}: {cells/dt/1e9:.1f} GCUPS ({dt*1e3:.2f} ms, "
+          f"compile+meas {time.time()-t0:.0f}s)", flush=True)
