@@ -80,6 +80,29 @@ def measure_axis(index, dna, lens, cfg, data_axis, db_axis, use_pallas,
     return batch / best
 
 
+def measure_solo(index, dna, lens, cfg, use_pallas, reps):
+    """Same TOTAL workload as the N-device mesh run, on ONE device with no
+    mesh/collectives — the serialization-corrected baseline for the
+    virtual CPU mesh, where N virtual devices share the host's cores and
+    ideal weak scaling is therefore flat total throughput, not Nx.
+    projected_efficiency = t_solo / t_mesh isolates the cost the sharded
+    program ADDS (partitioning + collectives + merge), which is what a
+    single host can honestly say about pod scaling."""
+    from ghostm_tpu.engine import SearchEngine
+
+    eng = SearchEngine(cfg, index, use_pallas=use_pallas, mesh=None)
+    batch = cfg.query_batch
+    idx = np.resize(np.arange(len(dna)), batch)
+    qc = eng.translate(dna[idx], lens[idx])
+    eng.search_batch(qc)
+    best = float("inf")
+    for _ in range(reps):
+        t = time.time()
+        eng.search_batch(qc)
+        best = min(best, time.time() - t)
+    return batch / best
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--axes", default="1,2,4,8")
@@ -127,20 +150,36 @@ def main():
                            use_pallas=args.tpu, reps=args.reps)
         if r1 is None:
             r1 = rps / ax   # per-"host" baseline at the first axis
-        rows.append({
+        row = {
             "data_axis": ax,
             "db_axis": args.db_axis,
             "reads_per_s": round(rps, 1),
             "efficiency": round(rps / (ax * r1), 4),
-        })
+        }
+        if not args.tpu:
+            # virtual devices share one host's cores, so rps(N)/(N*rps(1))
+            # is ~1/N even with zero collective cost; the honest metric is
+            # what sharding ADDS vs the same total work unsharded.
+            solo = measure_solo(index, dna, lens, cfg,
+                                use_pallas=args.tpu, reps=args.reps)
+            row["solo_reads_per_s"] = round(solo, 1)
+            row["projected_efficiency"] = round(min(rps / solo, 1.0), 4)
+        rows.append(row)
         print(json.dumps(rows[-1]), flush=True)
     artifact = {
         "protocol": "weak scaling: per-device batch fixed at "
-                    f"{args.per_device}; efficiency = rps(N)/(N*rps(1))",
+                    f"{args.per_device}; efficiency = rps(N)/(N*rps(1))"
+                    + ("" if args.tpu else
+                       "; projected_efficiency = rps_mesh(N devices, total "
+                       "batch) / rps_solo(1 device, same total batch) — on "
+                       "a core-shared virtual mesh this isolates the "
+                       "partitioning+collective overhead the sharded "
+                       "program adds, the honest single-host proxy for pod "
+                       "scaling efficiency"),
         "backend": "tpu" if args.tpu else
                    f"virtual CPU mesh ({ndev} devices share one host's "
-                   "cores; efficiencies are a methodology check / lower "
-                   "bound, not ICI scaling)",
+                   "cores; raw efficiencies are a methodology check / lower "
+                   "bound, not ICI scaling — see projected_efficiency)",
         "rows": rows,
     }
     with open(args.output, "w") as f:
