@@ -631,7 +631,11 @@ class SearchEngine:
         index: StackedIndex,
         use_pallas: Optional[bool] = None,
         mesh=None,
+        fused_interpret: bool = False,
     ):
+        """fused_interpret=True routes the align phase through the fused
+        Pallas kernel in INTERPRET mode even off-TPU — covers the fused
+        static-arg plumbing (incl. through shard_map) on the CPU mesh."""
         self.cfg = cfg
         self.index = index
         self._checked_fn = None
@@ -671,8 +675,11 @@ class SearchEngine:
             chunk=self.chunk,
             use_pallas=use_pallas,
             lead=self.lead,
-            fused_words=fused_words if use_pallas else None,
+            fused_words=(
+                fused_words if (use_pallas or fused_interpret) else None
+            ),
             code_limit=code_limit,
+            fused_interpret=fused_interpret,
         )
         half = cfg.band_width // 2
         Lqf = cfg.query_frame_len
@@ -790,7 +797,7 @@ class SearchEngine:
             ps = dict(self._propose_static, use_sort_kernel=False,
                       presorted_run=0)
             als = dict(self._align_static, use_pallas=False,
-                       fused_words=None)
+                       fused_words=None, fused_interpret=False)
         props = []
         for d in self.shard_dev:
             props.append(pfn(

@@ -44,6 +44,57 @@ def test_fused_matches_reference(seed, n, lq, band):
     np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
 
 
+@pytest.mark.parametrize("il", [2, 4])
+def test_fused_interleave_bit_identity(il):
+    """interleave > 1 reshapes the grid into IL independent problem slices
+    per kernel instance (sw_fused.kernel_call) — results must be
+    bit-identical to il=1 AND to the score-fed reference path."""
+    rng = np.random.default_rng(100 + il)
+    mat = padded_matrix()
+    words, climit = sw_fused.build_packed_matrix(mat)
+    n, lq, band = 512, 40, 32
+    qs = jnp.asarray(rng.integers(0, 26, (n, lq)).astype(np.int32))
+    ws = jnp.asarray(rng.integers(0, 26, (n, lq + band)).astype(np.int32))
+    g0 = jnp.zeros(n, jnp.int32)
+    lo = jnp.asarray(rng.integers(0, 8, n).astype(np.int32))
+    hi = jnp.asarray(rng.integers(lq // 2, lq + band, n).astype(np.int32))
+    ref = _ref(qs, ws, jnp.asarray(mat), band, g0, lo, hi, 11, 1)
+    base = sw_fused.sw_fused_wave(
+        qs, ws, words, lo, hi, 11, 1, band, code_limit=climit,
+        lane_width=128, interleave=1, interpret=True,
+    )
+    out = sw_fused.sw_fused_wave(
+        qs, ws, words, lo, hi, 11, 1, band, code_limit=climit,
+        lane_width=128, interleave=il, interpret=True,
+    )
+    for r, a, b in zip(ref, base, out):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(a))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_interleave_ragged_group_fallback():
+    """G % il != 0 (here G=3, il=2) must step il down (kernel_call's
+    `while il > 1 and G % il` loop) and still be bit-identical."""
+    rng = np.random.default_rng(11)
+    mat = padded_matrix()
+    words, climit = sw_fused.build_packed_matrix(mat)
+    n, lq, band = 384, 40, 32   # W=128 -> G=3
+    qs = jnp.asarray(rng.integers(0, 26, (n, lq)).astype(np.int32))
+    ws = jnp.asarray(rng.integers(0, 26, (n, lq + band)).astype(np.int32))
+    lo = jnp.zeros(n, jnp.int32)
+    hi = jnp.full(n, lq + band, jnp.int32)
+    a = sw_fused.sw_fused_wave(
+        qs, ws, words, lo, hi, 11, 1, band, code_limit=climit,
+        lane_width=128, interleave=1, interpret=True,
+    )
+    b = sw_fused.sw_fused_wave(
+        qs, ws, words, lo, hi, 11, 1, band, code_limit=climit,
+        lane_width=128, interleave=2, interpret=True,
+    )
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_fused_degenerate_empty_and_allmasked():
     mat = padded_matrix()
     words, climit = sw_fused.build_packed_matrix(mat)

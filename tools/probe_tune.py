@@ -1,14 +1,19 @@
 """Dev probe: on-chip sweep of the fused SW kernel's tuning knobs
-(lane_width x interleave x a_tile) at config-2 shapes, chained-dispatch
-timing (bench.py protocol). Usage: python tools/probe_tune.py"""
+(lane_width x interleave) at config-2 shapes (a_tile is moot there: Lq=40
+gives a single 56-row a-tile), chained-dispatch timing (bench.py
+protocol). Writes TUNE_r03.json. Usage: python tools/probe_tune.py"""
 
 import functools
+import json
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +39,9 @@ def timed(f):
 
 
 def main():
+    from ghostm_tpu.cli import _enable_compile_cache
+
+    _enable_compile_cache()
     rng = np.random.default_rng(0)
     N, Lq, B = 65536, 40, 32
     words, climit = sw_fused.build_packed_matrix(padded_matrix())
@@ -42,19 +50,39 @@ def main():
     lo = jnp.zeros(N, jnp.int32)
     hi = jnp.full(N, 1 << 20, jnp.int32)
     cells = N * Lq * B
+    rows = []
     for W in (128, 256, 512):
-        for il in (1, 2, 4):
+        for il in (1, 2, 4, 8):
             try:
                 fn = functools.partial(
                     sw_fused.sw_fused_wave, qs, ws, words, lo, hi, 11, 1, B,
                     code_limit=climit, lane_width=W, interleave=il,
                 )
                 dt = timed(fn)
-                print(f"W={W} il={il}: {cells/dt/1e9:7.2f} GCUPS "
+                gc = cells / dt / 1e9
+                rows.append({"lane_width": W, "interleave": il,
+                             "gcups": round(gc, 2), "ms": round(dt * 1e3, 3)})
+                print(f"W={W} il={il}: {gc:7.2f} GCUPS "
                       f"({dt*1e3:.2f} ms)", flush=True)
             except Exception as e:
+                rows.append({"lane_width": W, "interleave": il,
+                             "error": f"{type(e).__name__}: {str(e)[:160]}"})
                 print(f"W={W} il={il}: FAIL {type(e).__name__}: "
                       f"{str(e)[:120]}", flush=True)
+    best = max((r for r in rows if "gcups" in r), key=lambda r: r["gcups"],
+               default=None)
+    out = {
+        "protocol": "chained dispatch (SCAN_LEN=8), best of 3, config-2 "
+                    "shapes N=65536 Lq=40 B=32, cells=N*Lq*B",
+        "device": str(jax.devices()[0]),
+        "rows": rows,
+        "best": best,
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "TUNE_r03.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}; best={best}", flush=True)
 
 
 if __name__ == "__main__":

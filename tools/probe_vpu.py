@@ -9,12 +9,16 @@ Usage: python tools/probe_vpu.py
 """
 
 import functools
+import json
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import jax
 import jax.numpy as jnp
@@ -30,9 +34,13 @@ def make_chain(dtype, K, rows, width, grid):
     def kernel(x_ref, o_ref):
         x = x_ref[:]
         one = jnp.ones((), dtype)
+        # both ops genuinely depend on both operands (ADVICE r02: a
+        # monotone x made `max(x, x_ref)` provably redundant — a
+        # value-range pass could elide half the chain): max(x - 1, ref)
+        # can go either way, and the +1 keeps the chain from fixpointing.
         for i in range(K // 2):
+            x = jnp.maximum(x - one, x_ref[:])
             x = x + one
-            x = jnp.maximum(x, x_ref[:])
         o_ref[:] = x
 
     @jax.jit
@@ -65,8 +73,12 @@ def timed(f, x):
 
 
 def main():
+    from ghostm_tpu.cli import _enable_compile_cache
+
+    _enable_compile_cache()
     rows, width, grid = 256, 256, 64
     elems = grid * rows * width
+    results = {}
     for dtype in (jnp.int32, jnp.int16, jnp.int8, jnp.float32, jnp.bfloat16):
         xs = jnp.asarray(
             np.random.default_rng(0).integers(0, 7, (grid, rows, width)),
@@ -77,9 +89,27 @@ def main():
             ts[K] = timed(make_chain(dtype, K, rows, width, grid), xs)
         slope = (ts[64] - ts[16]) / (64 - 16)   # s per chain-op
         rate = elems / slope / 1e12 if slope > 0 else float("inf")
-        print(f"{jnp.dtype(dtype).name:9s}: {rate:6.2f} Tops/s "
+        name = jnp.dtype(dtype).name
+        results[name] = {
+            "tops_per_s": round(rate, 3),
+            "t16_ms": round(ts[16] * 1e3, 3),
+            "t64_ms": round(ts[64] * 1e3, 3),
+        }
+        print(f"{name:9s}: {rate:6.2f} Tops/s "
               f"(t16={ts[16]*1e3:.2f} ms, t64={ts[64]*1e3:.2f} ms)",
               flush=True)
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "VPU_PROBE.json")
+    with open(path, "w") as f:
+        json.dump({
+            "protocol": "slope of pallas kernel time vs dependent-chain "
+                        "length K in {16, 64}, elems=grid*rows*width="
+                        f"{elems}; ops alternate max(x-1, ref) / x+1 so "
+                        "neither is provably redundant",
+            "device": str(jax.devices()[0]),
+            "dtypes": results,
+        }, f, indent=1)
+    print(f"wrote {path}", flush=True)
 
 
 if __name__ == "__main__":
