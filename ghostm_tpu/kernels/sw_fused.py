@@ -59,13 +59,17 @@ from ghostm_tpu.ops.scoring import LOW
 NEG = -(1 << 30)
 LANES = 128
 MASK_CODE = 31  # window code for positionally-masked cells (>= code_limit)
-# Lane-block width: the fused kernel carries ~11 (h, W) state planes in its
-# loop; modest widths keep a band-32 state set near the register file.
-DEFAULT_WIDTH = 256
-# independent problem slices interleaved per kernel instance: the DP chain
-# is serial and its (h, W) operands span few vregs, so a single chain
-# issues ~1 instr/cycle; interleaving gives the scheduler IL independent
-# chains (measured on-chip before changing the default).
+# Lane-block width: the fused kernel carries ~11 (h, W) state planes in
+# its loop; modest widths keep a band-32 state set near the register
+# file. On-chip slope-timed sweep (TUNE_r03b.json): W=128 890 us/call,
+# W=256 1030 us at config-2 shapes -> 128.
+DEFAULT_WIDTH = 128
+# independent problem slices interleaved per kernel instance. The r03
+# slope-timed sweep shows the kernel is THROUGHPUT-bound, not
+# latency-bound: il=4 is ~12% SLOWER than il=1 at W=128 (more live state,
+# same issue slots), so interleaving stays off. (r02's chained-dispatch
+# sweep that motivated it was measuring the ~4 ms tunnel floor, not the
+# kernel — docs/DESIGN.md r03 measurement notes.)
 DEFAULT_INTERLEAVE = 1
 UNROLL = 8
 NIBBLE_BIAS = 4  # packed nibble = score + 4; BLOSUM62 scores are in [-4, 11]

@@ -1,0 +1,208 @@
+"""Config-3 artifact (BASELINE.json:9, VERDICT r02 missing #3): 1M reads
+vs a SwissProt-scale DB (570k seqs / ~200M residues), index SHARDED x2,
+streamed through the REAL CLI on the chip (loop path iterates the shards
+on one device; the distributed merge semantics are identical to the mesh
+path — tests/test_distributed.py proves layout invariance).
+
+Also runs an 8192-read subset through BOTH the chip path and the virtual
+8-device CPU mesh (--cpu 8 --data-axis 4 --db-axis 2) and byte-diffs the
+TSVs — correctness-at-scale across backend, kernel, and mesh layout.
+
+All heavy inputs (protein FASTA, reads FASTA, built index) are cached
+under ~/.cache/ghostm_tpu_bench/scale3 so reruns only pay the search.
+
+Usage: python tools/bench_scale3.py [--reads 1000000] [-o SCALE3.json]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CACHE = os.path.expanduser("~/.cache/ghostm_tpu_bench/scale3")
+
+
+def aa_to_codon_lut():
+    """(32, 3) int8 DNA codes: one representative codon per AA code."""
+    from ghostm_tpu.ops.encode import encode_aa
+    from ghostm_tpu.ops.translate import _BASE, _CODON_TABLE
+
+    lut = np.zeros((32, 3), np.int8)
+    seen = set()
+    for codon, aa in _CODON_TABLE.items():
+        code = int(encode_aa(aa)[0])
+        if code not in seen:
+            seen.add(code)
+            lut[code] = [_BASE[c] for c in codon]
+    return lut
+
+
+def write_proteins(path, rng, n_seqs):
+    """570k random proteins as FASTA (vectorised)."""
+    from ghostm_tpu.ops.encode import AA_ALPHABET
+    from tools.bench_scale2 import fast_proteins
+
+    codes, lens = fast_proteins(rng, n_seqs)
+    aa = np.frombuffer(AA_ALPHABET.encode(), np.uint8)
+    chars = aa[codes]
+    starts = np.zeros(n_seqs, np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    with open(path, "wb") as f:
+        for i in range(n_seqs):
+            f.write(b">s%d\n" % i)
+            f.write(chars[starts[i] : starts[i] + lens[i]].tobytes())
+            f.write(b"\n")
+    return codes, lens, starts
+
+
+def write_reads(path, rng, codes, lens, starts, n_reads, aa_per_read=33):
+    """Planted reads: sample a subject window, reverse-translate with one
+    codon per AA (vectorised), write FASTA. Read name carries the source
+    subject for top-1 scoring."""
+    lut = aa_to_codon_lut()
+    n_seqs = len(lens)
+    subj = rng.integers(0, n_seqs, n_reads)
+    maxoff = np.maximum(lens[subj] - aa_per_read, 1)
+    off = (rng.random(n_reads) * maxoff).astype(np.int64)
+    idx = (starts[subj] + off)[:, None] + np.arange(aa_per_read)[None, :]
+    idx = np.minimum(idx, len(codes) - 1)
+    aa_codes = codes[idx]                       # (R, 33)
+    dna = lut[aa_codes].reshape(n_reads, aa_per_read * 3)   # (R, 99)
+    base = np.frombuffer(b"ACGT", np.uint8)
+    txt = base[dna]
+    with open(path, "wb") as f:
+        for i in range(n_reads):
+            f.write(b">r%d_src%d\n" % (i, subj[i]))
+            f.write(txt[i].tobytes())
+            f.write(b"\n")
+    return subj
+
+
+def run_cli(args_list, timeout=3600, time_v=False):
+    cmd = [sys.executable, "-m", "ghostm_tpu"] + args_list
+    if time_v and os.path.exists("/usr/bin/time"):
+        cmd = ["/usr/bin/time", "-v"] + cmd
+    t0 = time.time()
+    r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
+                       timeout=timeout)
+    dt = time.time() - t0
+    if r.returncode != 0:
+        print(r.stderr[-3000:], file=sys.stderr)
+        raise RuntimeError(f"CLI failed: {' '.join(args_list[:4])}")
+    rss = None
+    for line in r.stderr.splitlines():
+        if "Maximum resident set size" in line:
+            rss = int(line.split()[-1]) * 1024
+    return dt, rss
+
+
+def top1_accuracy(tsv, want_subj, n_reads):
+    got = np.full(n_reads, -1, np.int64)
+    with open(tsv) as f:
+        for line in f:
+            q, s = line.split("\t")[:2]
+            ri = int(q[1:].split("_src")[0])
+            if got[ri] < 0:
+                got[ri] = int(s[1:])
+    hit = got >= 0
+    return float((got == want_subj).mean()), float(hit.mean())
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seqs", type=int, default=570_000)
+    ap.add_argument("--reads", type=int, default=1_000_000)
+    ap.add_argument("--subset", type=int, default=8192)
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--skip-mesh-check", action="store_true")
+    ap.add_argument("-o", "--output", default="SCALE3.json")
+    args = ap.parse_args()
+    os.makedirs(CACHE, exist_ok=True)
+    rng = np.random.default_rng(11)
+    art = {}
+
+    pfa = os.path.join(CACHE, f"prot_{args.seqs}.fa")
+    meta = os.path.join(CACHE, f"prot_{args.seqs}.npz")
+    t0 = time.time()
+    if not os.path.exists(meta):
+        codes, lens, starts = write_proteins(pfa, rng, args.seqs)
+        np.savez(meta, codes=codes, lens=lens, starts=starts)
+    else:
+        z = np.load(meta)
+        codes, lens, starts = z["codes"], z["lens"], z["starts"]
+    print(f"proteins ready ({time.time()-t0:.1f}s)", flush=True)
+
+    idx = os.path.join(CACHE, "idx2")
+    cfgj = os.path.join(CACHE, "cfg.json")
+    with open(cfgj, "w") as f:
+        json.dump({"seed_len": 5, "hits_per_seed": 128, "shards": 2}, f)
+    if not os.path.exists(idx + ".manifest.json"):
+        t0 = time.time()
+        dt, _ = run_cli(["db", "-i", pfa, "-o", idx, "--config", cfgj])
+        art["db_build_s"] = round(dt, 1)
+        print(f"index built ({dt:.1f}s)", flush=True)
+
+    rfa = os.path.join(CACHE, f"reads_{args.reads}.fa")
+    srcnpz = os.path.join(CACHE, f"reads_{args.reads}_src.npz")
+    if not os.path.exists(srcnpz):
+        t0 = time.time()
+        subj = write_reads(rfa, rng, codes, lens, starts, args.reads)
+        np.savez(srcnpz, subj=subj)
+        print(f"reads written ({time.time()-t0:.1f}s)", flush=True)
+    else:
+        subj = np.load(srcnpz)["subj"]
+
+    # --- the 1M-read chip run through the real CLI ---
+    hits = os.path.join(CACHE, "hits_1m.tsv")
+    dt, rss = run_cli(
+        ["aln", "-d", idx, "-i", rfa, "-o", hits, "--pallas",
+         "--batch", str(args.batch)],
+        timeout=7200, time_v=True,
+    )
+    acc, hitrate = top1_accuracy(hits, subj, args.reads)
+    art.update({
+        "reads": args.reads, "seqs": args.seqs, "shards": 2, "k": 5,
+        "aln_wall_s": round(dt, 1),
+        "reads_per_s": round(args.reads / dt, 1),
+        "peak_rss_gb": round(rss / 1e9, 2) if rss else None,
+        "top1_acc": round(acc, 4), "hit_rate": round(hitrate, 4),
+    })
+    print(json.dumps(art), flush=True)
+
+    # --- correctness at scale: subset through chip vs virtual CPU mesh ---
+    if not args.skip_mesh_check:
+        sub = os.path.join(CACHE, "reads_sub.fa")
+        with open(rfa, "rb") as f, open(sub, "wb") as g:
+            for _ in range(2 * args.subset):
+                g.write(f.readline())
+        h1 = os.path.join(CACHE, "hits_sub_tpu.tsv")
+        h2 = os.path.join(CACHE, "hits_sub_mesh.tsv")
+        run_cli(["aln", "-d", idx, "-i", sub, "-o", h1, "--pallas",
+                 "--batch", str(args.batch)], timeout=3600)
+        run_cli(["aln", "-d", idx, "-i", sub, "-o", h2, "--no-pallas",
+                 "--cpu", "8", "--data-axis", "4", "--db-axis", "2",
+                 "--batch", str(args.batch)], timeout=3600)
+        same = open(h1, "rb").read() == open(h2, "rb").read()
+        art["subset_tpu_vs_cpu_mesh_identical"] = bool(same)
+        print(f"subset chip vs cpu-mesh identical: {same}", flush=True)
+
+    art["protocol"] = (
+        "1M planted 99bp reads (one codon per AA reverse translation) vs "
+        "570k-seq/200M-residue DB, k=5, hits_per_seed=128, 2-shard index, "
+        "real CLI on the TPU chip; subset cross-checked byte-identical "
+        "against the virtual 8-device CPU mesh (4x2 data x db)."
+    )
+    with open(os.path.join(REPO, args.output), "w") as f:
+        json.dump(art, f, indent=1)
+    print(f"wrote {args.output}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

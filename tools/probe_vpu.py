@@ -1,14 +1,21 @@
 """Dev probe: achievable VPU elem-op rate by dtype, measured as the SLOPE
-of kernel time vs chain length K (dependent max/add ops per element inside
-one Pallas kernel). Slope-based timing is immune to the constant-folding /
-dispatch-overhead traps that broke round-1's synthetic probes (bench.py
-docstring): the input streams from HBM refs, the output is written back,
-and fixed overheads cancel in the K2 - K1 difference.
+of device time vs dependent-chain length K — and with the kernel repeated
+inside a dynamic-trip-count lax.fori_loop so per-call tunnel dispatch
+(~4 ms floor on axon, see tools/probe_devtime.py) cancels exactly.
+
+Two slope cancellations compose here:
+  * fori_loop(n) slope removes per-call dispatch;
+  * K2 - K1 slope removes the kernel's fixed load/store cost, leaving
+    pure ALU chain throughput.
+
+Ops alternate max(x - 1, ref) / x + 1 so neither op is provably
+redundant (ADVICE r02: a monotone x made `max(x, ref)` elidable).
+Unsupported dtype/op combos (e.g. int16 max does not legalize in this
+Mosaic toolchain) are caught and reported, not fatal.
 
 Usage: python tools/probe_vpu.py
 """
 
-import functools
 import json
 import os
 import sys
@@ -25,50 +32,49 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SCAN_LEN = 8
+ROWS, WIDTH, GRID = 256, 256, 64
 
 
-def make_chain(dtype, K, rows, width, grid):
-    """Kernel: per element, K dependent (max(x + c1, x) style) ops."""
+def make_chain(dtype, K):
+    """fori_loop(n)-wrapped kernel: per element, K dependent ops."""
 
     def kernel(x_ref, o_ref):
         x = x_ref[:]
         one = jnp.ones((), dtype)
-        # both ops genuinely depend on both operands (ADVICE r02: a
-        # monotone x made `max(x, x_ref)` provably redundant — a
-        # value-range pass could elide half the chain): max(x - 1, ref)
-        # can go either way, and the +1 keeps the chain from fixpointing.
         for i in range(K // 2):
             x = jnp.maximum(x - one, x_ref[:])
             x = x + one
         o_ref[:] = x
 
-    @jax.jit
-    def run(x):
+    def call(x):
         return pl.pallas_call(
             kernel,
-            grid=(grid,),
-            in_specs=[pl.BlockSpec((1, rows, width), lambda g: (g, 0, 0),
+            grid=(GRID,),
+            in_specs=[pl.BlockSpec((1, ROWS, WIDTH), lambda g: (g, 0, 0),
                                    memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((1, rows, width), lambda g: (g, 0, 0),
+            out_specs=pl.BlockSpec((1, ROWS, WIDTH), lambda g: (g, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((grid, rows, width), dtype),
+            out_shape=jax.ShapeDtypeStruct((GRID, ROWS, WIDTH), dtype),
         )(x)
 
-    return run
+    @jax.jit
+    def reps(x, n):
+        def body(i, acc):
+            y = call(x + (i & 1).astype(dtype))   # defeat hoisting
+            return acc + y[0, 0, 0].astype(jnp.int32)
+
+        return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
+    return reps
 
 
-def timed(f, x):
-    red = lambda: jnp.sum(f(x)[0, 0, :8].astype(jnp.int32))
-    np.asarray(red())
+def timeit(f, x, n, inner=3):
+    np.asarray(f(x, jnp.int32(n)))
     best = float("inf")
-    for _ in range(3):
+    for _ in range(inner):
         t = time.time()
-        acc = jnp.int32(0)
-        for _ in range(SCAN_LEN):
-            acc = acc + red()
-        np.asarray(acc)
-        best = min(best, (time.time() - t) / SCAN_LEN)
+        np.asarray(f(x, jnp.int32(n)))
+        best = min(best, time.time() - t)
     return best
 
 
@@ -76,36 +82,44 @@ def main():
     from ghostm_tpu.cli import _enable_compile_cache
 
     _enable_compile_cache()
-    rows, width, grid = 256, 256, 64
-    elems = grid * rows * width
+    elems = GRID * ROWS * WIDTH
+    N1, N2 = 2, 18
     results = {}
-    for dtype in (jnp.int32, jnp.int16, jnp.int8, jnp.float32, jnp.bfloat16):
-        xs = jnp.asarray(
-            np.random.default_rng(0).integers(0, 7, (grid, rows, width)),
-            dtype,
-        )
-        ts = {}
-        for K in (16, 64):
-            ts[K] = timed(make_chain(dtype, K, rows, width, grid), xs)
-        slope = (ts[64] - ts[16]) / (64 - 16)   # s per chain-op
-        rate = elems / slope / 1e12 if slope > 0 else float("inf")
+    for dtype in (jnp.int32, jnp.float32, jnp.bfloat16, jnp.int16, jnp.int8):
         name = jnp.dtype(dtype).name
-        results[name] = {
-            "tops_per_s": round(rate, 3),
-            "t16_ms": round(ts[16] * 1e3, 3),
-            "t64_ms": round(ts[64] * 1e3, 3),
-        }
-        print(f"{name:9s}: {rate:6.2f} Tops/s "
-              f"(t16={ts[16]*1e3:.2f} ms, t64={ts[64]*1e3:.2f} ms)",
-              flush=True)
+        try:
+            xs = jnp.asarray(
+                np.random.default_rng(0).integers(0, 7, (GRID, ROWS, WIDTH)),
+                dtype,
+            )
+            per = {}
+            for K in (16, 128):
+                f = make_chain(dtype, K)
+                t1 = timeit(f, xs, N1)
+                t2 = timeit(f, xs, N2)
+                per[K] = (t2 - t1) / (N2 - N1)
+            slope = (per[128] - per[16]) / (128 - 16)   # s per chain-op
+            rate = elems / slope / 1e12 if slope > 0 else float("nan")
+            results[name] = {
+                "tops_per_s": round(rate, 3),
+                "t16_ms": round(per[16] * 1e3, 3),
+                "t128_ms": round(per[128] * 1e3, 3),
+            }
+            print(f"{name:9s}: {rate:6.2f} Tops/s "
+                  f"(dev t16={per[16]*1e3:.3f} ms, t128={per[128]*1e3:.3f} ms)",
+                  flush=True)
+        except Exception as e:
+            results[name] = {"error": f"{type(e).__name__}: {str(e)[:160]}"}
+            print(f"{name:9s}: UNSUPPORTED ({type(e).__name__})", flush=True)
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "VPU_PROBE.json")
     with open(path, "w") as f:
         json.dump({
-            "protocol": "slope of pallas kernel time vs dependent-chain "
-                        "length K in {16, 64}, elems=grid*rows*width="
-                        f"{elems}; ops alternate max(x-1, ref) / x+1 so "
-                        "neither is provably redundant",
+            "protocol": "double slope: fori_loop(n) trip-count slope "
+                        "cancels per-call dispatch; K in {16,128} chain "
+                        f"slope cancels fixed kernel cost; elems={elems}; "
+                        "ops alternate max(x-1, ref) / x+1 so neither is "
+                        "provably redundant",
             "device": str(jax.devices()[0]),
             "dtypes": results,
         }, f, indent=1)
