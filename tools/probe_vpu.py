@@ -32,19 +32,32 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ROWS, WIDTH, GRID = 256, 256, 64
+ROWS, WIDTH, GRID = 256, 256, 512
 
 
-def make_chain(dtype, K):
-    """fori_loop(n)-wrapped kernel: per element, K dependent ops."""
+def make_chain(dtype, K, regonly=False):
+    """fori_loop(n)-wrapped kernel: per element, K dependent ops.
+
+    regonly=True removes the per-op VMEM re-load (the load-bearing form
+    is throttled to ~1 load per 2 ops): two accumulators feed each other
+    — x = max(x - 1, y); y = max(y + 1, x) — mutually dependent, no
+    closed form a peephole pass can fold, no memory traffic in the chain.
+    """
 
     def kernel(x_ref, o_ref):
         x = x_ref[:]
         one = jnp.ones((), dtype)
-        for i in range(K // 2):
-            x = jnp.maximum(x - one, x_ref[:])
-            x = x + one
-        o_ref[:] = x
+        if regonly:
+            y = x + one
+            for i in range(K // 2):
+                x = jnp.maximum(x - one, y)
+                y = jnp.maximum(y + one, x)
+            o_ref[:] = jnp.minimum(x, y)
+        else:
+            for i in range(K // 2):
+                x = jnp.maximum(x - one, x_ref[:])
+                x = x + one
+            o_ref[:] = x
 
     def call(x):
         return pl.pallas_call(
@@ -83,40 +96,44 @@ def main():
 
     _enable_compile_cache()
     elems = GRID * ROWS * WIDTH
-    N1, N2 = 2, 18
+    N1, N2 = 2, 10
     results = {}
-    for dtype in (jnp.int32, jnp.float32, jnp.bfloat16, jnp.int16, jnp.int8):
-        name = jnp.dtype(dtype).name
-        try:
-            xs = jnp.asarray(
-                np.random.default_rng(0).integers(0, 7, (GRID, ROWS, WIDTH)),
-                dtype,
-            )
-            per = {}
-            for K in (16, 128):
-                f = make_chain(dtype, K)
-                t1 = timeit(f, xs, N1)
-                t2 = timeit(f, xs, N2)
-                per[K] = (t2 - t1) / (N2 - N1)
-            slope = (per[128] - per[16]) / (128 - 16)   # s per chain-op
-            rate = elems / slope / 1e12 if slope > 0 else float("nan")
-            results[name] = {
-                "tops_per_s": round(rate, 3),
-                "t16_ms": round(per[16] * 1e3, 3),
-                "t128_ms": round(per[128] * 1e3, 3),
-            }
-            print(f"{name:9s}: {rate:6.2f} Tops/s "
-                  f"(dev t16={per[16]*1e3:.3f} ms, t128={per[128]*1e3:.3f} ms)",
-                  flush=True)
-        except Exception as e:
-            results[name] = {"error": f"{type(e).__name__}: {str(e)[:160]}"}
-            print(f"{name:9s}: UNSUPPORTED ({type(e).__name__})", flush=True)
+    for dtype in (jnp.int32, jnp.float32, jnp.int16):
+        for regonly in (False, True):
+            name = jnp.dtype(dtype).name + ("_regonly" if regonly else "")
+            try:
+                xs = jnp.asarray(
+                    np.random.default_rng(0).integers(
+                        0, 7, (GRID, ROWS, WIDTH)), dtype,
+                )
+                per = {}
+                for K in (64, 512):
+                    f = make_chain(dtype, K, regonly)
+                    t1 = timeit(f, xs, N1)
+                    t2 = timeit(f, xs, N2)
+                    per[K] = (t2 - t1) / (N2 - N1)
+                slope = (per[512] - per[64]) / (512 - 64)  # s per chain-op
+                rate = elems / slope / 1e12 if slope > 0 else float("nan")
+                results[name] = {
+                    "tops_per_s": round(rate, 3),
+                    "t64_ms": round(per[64] * 1e3, 3),
+                    "t512_ms": round(per[512] * 1e3, 3),
+                }
+                print(f"{name:16s}: {rate:6.2f} Tops/s "
+                      f"(dev t64={per[64]*1e3:.3f} ms, "
+                      f"t512={per[512]*1e3:.3f} ms)", flush=True)
+            except Exception as e:
+                results[name] = {
+                    "error": f"{type(e).__name__}: {str(e)[:160]}"
+                }
+                print(f"{name:16s}: UNSUPPORTED ({type(e).__name__})",
+                      flush=True)
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "VPU_PROBE.json")
     with open(path, "w") as f:
         json.dump({
             "protocol": "double slope: fori_loop(n) trip-count slope "
-                        "cancels per-call dispatch; K in {16,128} chain "
+                        "cancels per-call dispatch; K in {64,512} chain "
                         f"slope cancels fixed kernel cost; elems={elems}; "
                         "ops alternate max(x-1, ref) / x+1 so neither is "
                         "provably redundant",
