@@ -639,6 +639,7 @@ class SearchEngine:
         self.cfg = cfg
         self.index = index
         self._checked_fn = None
+        self._fullstep_cache = {}
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
@@ -775,21 +776,31 @@ class SearchEngine:
         return total
 
     # ------------------------------------------------------------------
-    def _search_phases(self, qflat: jnp.ndarray, R: int, jitted: bool = True
-                       ) -> jnp.ndarray:
+    def _search_phases(self, qflat: jnp.ndarray, R: int, jitted=True,
+                       shard_dev=None, matrix=None) -> jnp.ndarray:
         """Loop-path search entirely on device: propose -> select -> align
         -> rank; returns the packed (9, R, K) int32 array WITHOUT fetching.
         The tunnel backend charges ~30 ms per host fetch, so everything
         stays device-resident until the caller fetches ONE array.
 
-        jitted=False traces the raw (unjitted) phase functions on the XLA
+        jitted=True runs the phases as SEPARATE jitted programs chained
+        asynchronously (CPU/test path); jitted="inline" runs the raw phase
+        functions with the PRODUCTION static flags so a caller can trace
+        the whole batch into ONE program (self._fullstep_for — the TPU
+        pipeline path: the axon runtime misbehaves on long cross-program
+        async chains, and one program per batch is also fewer dispatches);
+        jitted=False traces the raw phase functions on the XLA
         (non-Pallas) paths so a checkify transform can see through them
-        (search_batch_checked) — bit-identical values either way."""
+        (search_batch_checked) — bit-identical values all three ways."""
         C = self.cfg.candidates_per_frame
         K = self.cfg.max_hits
-        if jitted:
+        if jitted is True:
             pfn, afn = propose_shard_jit, align_shard_jit
             sfn, mfn = _select_jit, _merge_rank_jit
+            ps, als = self._propose_static, self._align_static
+        elif jitted == "inline":
+            pfn, afn = propose_shard, align_shard
+            sfn, mfn = _select_jit.__wrapped__, _merge_rank_jit.__wrapped__
             ps, als = self._propose_static, self._align_static
         else:
             pfn, afn = propose_shard, align_shard
@@ -798,8 +809,10 @@ class SearchEngine:
                       presorted_run=0)
             als = dict(self._align_static, use_pallas=False,
                        fused_words=None, fused_interpret=False)
+        shard_dev = shard_dev if shard_dev is not None else self.shard_dev
+        matrix = matrix if matrix is not None else self.matrix
         props = []
-        for d in self.shard_dev:
+        for d in shard_dev:
             props.append(pfn(
                 qflat, d["bucket_starts"], d["tab_main"],
                 d["tab_aux"], d["subject_ids"], **ps,
@@ -809,10 +822,10 @@ class SearchEngine:
         pv = jnp.concatenate([p[2] for p in props], axis=1)
         sel_g, sel_b = sfn(pg, pb, pv, C)
         outs = []
-        for d in self.shard_dev:
+        for d in shard_dev:
             outs.append(afn(
                 qflat, d["buffer"], d["starts"], d["subject_ids"],
-                d["lengths"], self.matrix, sel_g, sel_b,
+                d["lengths"], matrix, sel_g, sel_b,
                 **als,
             ))
         stacked = [jnp.stack(x) for x in zip(*outs)]
@@ -820,6 +833,50 @@ class SearchEngine:
 
     def _search_dev(self, qflat: jnp.ndarray, R: int) -> jnp.ndarray:
         return self._search_phases(qflat, R, jitted=True)
+
+    _SHARD_KEYS = ("bucket_starts", "tab_main", "tab_aux", "subject_ids",
+                   "lengths", "buffer", "starts")
+
+    def _fullstep_for(self, R: int):
+        """ONE jitted program for a whole loop-path batch: propose (all
+        shards) -> select -> align -> rank -> packed refine, returning the
+        (18, R, K) array search_refine_async fetches. One execution + one
+        fetch per batch: besides saving ~6 dispatches (1-4 ms each on the
+        tunnel), this avoids an axon-runtime failure mode where long
+        ASYNC chains of separate programs poison the next execution
+        (INVALID_ARGUMENT on any later program; first seen at config-3
+        scale, 2-shard k=5 index — each program individually re-executes
+        fine, only the cross-program chain breaks). Index arrays are
+        explicit arguments, not jit-captured constants, so multi-GB
+        tables never get baked into the executable."""
+        fn = self._fullstep_cache.get(R)
+        if fn is not None:
+            return fn
+        cfg = self.cfg
+        n_shards = self.n_shards
+        nkeys = len(self._SHARD_KEYS)
+
+        def step(qcodes3, matrix, *flat):
+            shard_dev = [
+                dict(zip(self._SHARD_KEYS, flat[i * nkeys:(i + 1) * nkeys]))
+                for i in range(n_shards)
+            ]
+            qflat = qcodes3.reshape(R * NFRAMES, cfg.query_frame_len)
+            packed = self._search_phases(
+                qflat, R, jitted="inline", shard_dev=shard_dev,
+                matrix=matrix,
+            )
+            refine_args = []
+            for d in shard_dev:
+                refine_args += [d["buffer"], d["starts"], d["lengths"]]
+            stats = self._refine_packed_jit.__wrapped__(
+                qcodes3, packed, matrix, *refine_args
+            )
+            return jnp.concatenate([packed, stats], axis=0)
+
+        fn = jax.jit(step)
+        self._fullstep_cache[R] = fn
+        return fn
 
     def search_batch_checked(self, qcodes: np.ndarray) -> BatchHits:
         """Debug mode (SURVEY.md §5.2, CLI --check): run the full search
@@ -927,20 +984,14 @@ class SearchEngine:
         pipeline can overlap this batch's device work with the previous
         batch's host-side fetch/format/write (ghostm_tpu.pipeline). Loop
         path only (the mesh path fetches through search_batch).
-        Bit-identical to search_batch + refine (tests/test_pipeline.py)."""
+        Bit-identical to search_batch + refine (tests/test_pipeline.py).
+        The whole batch is ONE compiled program (_fullstep_for)."""
         assert self.mesh is None
         R = qcodes.shape[0]
-        qflat = jnp.asarray(
-            qcodes.reshape(R * NFRAMES, self.cfg.query_frame_len)
-        )
-        packed = self._search_dev(qflat, R)
-        shard_args = []
+        args = []
         for d in self.shard_dev:
-            shard_args += [d["buffer"], d["starts"], d["lengths"]]
-        stats = self._refine_packed_jit(
-            jnp.asarray(qcodes), packed, self.matrix, *shard_args
-        )
-        return jnp.concatenate([packed, stats], axis=0)
+            args += [d[k] for k in self._SHARD_KEYS]
+        return self._fullstep_for(R)(jnp.asarray(qcodes), self.matrix, *args)
 
     def unpack_results(self, arr: np.ndarray):
         """(18, R, K) fetched array -> (BatchHits, stats dict)."""

@@ -67,6 +67,11 @@ def run_search(
     # fetched, so device compute overlaps the host-side fetch + TSV
     # formatting + write. The mesh path stays synchronous (its outputs are
     # process-sharded global arrays).
+    # GHOSTM_TPU_SYNC_PIPELINE=1 fetches batch i before dispatching batch
+    # i+1: gives up the host-overlap (~10-20% at small DBs) but halves
+    # peak device memory — two in-flight batches of propose/align
+    # intermediates on a k=5 multi-GB index can exceed v5e HBM.
+    sync_pipeline = os.environ.get("GHOSTM_TPU_SYNC_PIPELINE") == "1"
     use_async = getattr(engine, "mesh", None) is None
     try:
         import jax
@@ -173,6 +178,9 @@ def run_search(
             pending = (
                 bi, names, lens, len(names), qcodes.shape[0], payload, t0
             )
+            if sync_pipeline:
+                _flush(pending)
+                pending = None
         if pending is not None:
             _flush(pending)
             pending = None

@@ -107,6 +107,8 @@ def top1_accuracy(tsv, want_subj, n_reads):
     got = np.full(n_reads, -1, np.int64)
     with open(tsv) as f:
         for line in f:
+            if not line.startswith("r"):
+                continue
             q, s = line.split("\t")[:2]
             ri = int(q[1:].split("_src")[0])
             if got[ri] < 0:
