@@ -117,38 +117,69 @@ def aligned_key_tables(
     sd = index.shards[shard].seeds
     st = index.shards[shard].store
     bs = np.asarray(sd.bucket_starts, np.int64)
-    pos = np.asarray(sd.positions, np.int64)
+    pos = np.asarray(sd.positions)
+    P = len(pos)
     counts = np.diff(bs)                      # (nb+1,)
     padw = -(-counts // width) * width
     astart = np.zeros(len(bs), np.int64)
     np.cumsum(padw, out=astart[1:])
     nrows_need = max(1, -(-index.expand_width // width))
     total = int(astart[-1])
-    row = np.clip(
-        np.searchsorted(np.asarray(st.starts, np.int64), pos, side="right") - 1,
-        0, max(st.num_subjects - 1, 0),
-    )
-    starts_row = (
-        np.asarray(st.starts, np.int64)[row] if st.num_subjects else row
-    )
-    vals = row * (nbins * half) + (pos - starts_row) + Lq
+    S = st.num_subjects
+    mult = nbins * half
     cbits = int(width).bit_length()           # count in [0, width]
     r_max = (total // width) + nrows_need
-    fits = (int(vals.max()) if len(vals) else 0) < (1 << 31) and (
-        (r_max << cbits) | width
-    ) < (1 << 31)
+    starts64 = np.asarray(st.starts, np.int64)
+    strides = (
+        np.diff(starts64, append=np.int64(len(st.buffer))) if S
+        else starts64
+    )
+    # int32-fit check from per-subject BOUNDS (i * mult + stride_i - 1 + Lq
+    # >= any position's packed value in subject i) — avoids materialising
+    # the 48M-entry int64 vals array the old exact check needed; at worst
+    # it conservatively routes a borderline index to the (bit-identical,
+    # slower) unaligned fallback tables.
+    bound = int(
+        (np.arange(S, dtype=np.int64) * mult + strides - 1 + Lq).max()
+    ) if S else 0
+    fits = (
+        len(st.buffer) < (1 << 31)
+        and bound < (1 << 31)
+        and ((r_max << cbits) | width) < (1 << 31)
+    )
     if not fits:
         return None, None, False
-    tab = np.zeros(total + nrows_need * width, np.int64)
-    if len(pos):
-        bucket_of = np.repeat(np.arange(len(counts)), counts)
-        dst = astart[bucket_of] + (np.arange(len(pos)) - bs[bucket_of])
+    # Packed value by buffer position is row*mult + (pos - start[row]) +
+    # Lq, which within a subject increases by exactly 1 per position — so
+    # the whole per-position map is arange(L) + repeat(per-subject base):
+    # ONE repeat + ONE gather, all int32 (r03: replaces a 98M-query
+    # searchsorted + int64 temp chain that cost ~60 s/shard of
+    # SearchEngine init at k=5 scale).
+    tab = np.zeros(total + nrows_need * width, np.int32)
+    if P:
+        base = (
+            np.arange(S, dtype=np.int64) * mult - starts64 + Lq
+        ).astype(np.int32) if S else np.zeros(1, np.int32)
+        # subject i covers [starts[i], starts[i+1]); fold the leading
+        # sentinel pad [0, starts[0]) into subject 0's span (no seed
+        # positions fall there — k-mers over sentinels are masked)
+        rep = (
+            np.diff(starts64, append=np.int64(len(st.buffer)))
+            if S else np.asarray([len(st.buffer)])
+        )
+        if S:
+            rep[0] += starts64[0]
+        valmap = np.arange(len(st.buffer), dtype=np.int32)
+        valmap += np.repeat(base, rep)
+        vals = valmap[pos]
+        dshift = (astart[:-1] - bs[:-1]).astype(np.int32)
+        dst = np.arange(P, dtype=np.int32) + np.repeat(dshift, counts)
         tab[dst] = vals
     aux = ((astart // width) << cbits) | np.concatenate(
         [counts, np.zeros(1, np.int64)]
     )
     return (
-        tab.astype(np.int32).reshape(-1, width),
+        tab.reshape(-1, width),
         aux.astype(np.int32),
         True,
     )
