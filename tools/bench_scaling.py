@@ -25,7 +25,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_workload(cfg, n_proteins=2000, n_reads=4096, seed=1):
+def build_workload(cfg, n_proteins=2000, n_reads=4096, seed=1, n_shards=1):
     from ghostm_tpu.index import diskio, seeds, store
     from ghostm_tpu.ops.encode import encode_aa, encode_dna
     from tools.simulate import random_proteins, reads_from_proteins
@@ -36,15 +36,19 @@ def build_workload(cfg, n_proteins=2000, n_reads=4096, seed=1):
     keep = seeds.global_bucket_truncation(
         [encode_aa(s) for _, s in records], cfg.seed_len, cfg.hits_per_seed
     )
-    st = store.build_store(records, cfg.sentinel_pad,
-                           subject_ids=list(range(len(records))))
-    kb = np.zeros(len(st.buffer), dtype=bool)
-    for r in range(len(records)):
-        kb[st.starts[r]: st.starts[r] + len(keep[r])] = keep[r]
-    shard = diskio.IndexShard(
-        st, seeds.build_seed_index(st.buffer, cfg.seed_len, kb)
-    )
-    index = diskio.stack_shards([shard], cfg.seed_len)
+    assign = store.shard_records(records, n_shards)
+    shards = []
+    for ids in assign:
+        st = store.build_store(
+            [records[i] for i in ids], cfg.sentinel_pad, subject_ids=ids
+        )
+        kb = np.zeros(len(st.buffer), dtype=bool)
+        for r, gi in enumerate(ids):
+            kb[st.starts[r]: st.starts[r] + len(keep[gi])] = keep[gi]
+        shards.append(diskio.IndexShard(
+            st, seeds.build_seed_index(st.buffer, cfg.seed_len, kb)
+        ))
+    index = diskio.stack_shards(shards, cfg.seed_len)
     names, reads = reads_from_proteins(rng, prots, n_reads, read_len=100)
     dna = np.full((n_reads, 100), 4, np.int8)
     lens = np.zeros(n_reads, np.int32)
@@ -132,7 +136,7 @@ def main():
     _enable_compile_cache()
     ndev = len(jax.devices())
     base = Config(seed_len=4, hits_per_seed=32)
-    index, dna, lens = build_workload(base)
+    index, dna, lens = build_workload(base, n_shards=args.db_axis)
     rows = []
     r1 = None
     for ax in axes:
