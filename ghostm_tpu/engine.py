@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -44,6 +45,17 @@ from ghostm_tpu.ops.translate import six_frame_translate
 NFRAMES = 6
 BIG = 1 << 30
 SORT_NUM_KEYS = 5  # (-score, gsid, frame, qend, s_end) — the tie-break spec
+# Direct-table sentinel: pad slots hold this value; any packed value below
+# it is a real position. Must exceed every valid packed value (checked at
+# build) and be comparable BEFORE the diagonal division (a post-division
+# sentinel can't reach BIG in int32: BIG * half overflows).
+DIRECT_SENT = 0x7FF00000
+# Per-shard cap for the direct table (it spends (nb+1) * W * 4 bytes,
+# nb = 20^k buckets, W = pow2 >= max bucket count): k=5/W=128 is 1.64 GB
+# of the 16 GB v5e HBM. Overridable for small-HBM or huge-k setups.
+DIRECT_TABLE_CAP = int(
+    os.environ.get("GHOSTM_TPU_DIRECT_TABLE_CAP", 3 << 30)
+)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -58,14 +70,15 @@ def lead_pad(cfg: Config) -> int:
 
 def pad_buffer(buf: np.ndarray, cfg: Config) -> np.ndarray:
     """Sentinel-pad the shard buffer. Invariants the align phase relies on:
-    total length is a multiple of 128 (the buffer is viewed as (M, 128)
-    rows for the aligned window row-gather) and the tail pad is >= 256
-    bytes past any valid window start (so the two-row gather never
-    clamps for an owned candidate)."""
+    total length is a multiple of 256 (the buffer is viewed as (M, 128)
+    or (M, 256) rows for the aligned window row-gathers) and the tail pad
+    is >= 512 bytes past any valid window start (so neither the two-row
+    128-gather nor the r04 single-row 512 B overlap-view gather ever
+    clamps or wraps for an owned candidate)."""
     lead = lead_pad(cfg)
-    tail = lead + 256
+    tail = lead + 512
     out = np.pad(buf, (lead, tail), constant_values=SENTINEL)
-    extra = (-len(out)) % 128
+    extra = (-len(out)) % 256
     if extra:
         out = np.pad(out, (0, extra), constant_values=SENTINEL)
     return out
@@ -159,7 +172,7 @@ def aligned_key_tables(
     if P:
         base = (
             np.arange(S, dtype=np.int64) * mult - starts64 + Lq
-        ).astype(np.int32) if S else np.zeros(1, np.int32)
+        ).astype(np.int32) if S else np.full(1, Lq, np.int32)
         # subject i covers [starts[i], starts[i+1]); fold the leading
         # sentinel pad [0, starts[0]) into subject 0's span (no seed
         # positions fall there — k-mers over sentinels are masked)
@@ -185,24 +198,106 @@ def aligned_key_tables(
     )
 
 
-def build_key_tables(
-    index: StackedIndex, nbins: int, half: int, Lq: int, width: int
+def direct_key_tables(
+    index: StackedIndex, shard: int, nbins: int, half: int, Lq: int,
+    width: int,
 ):
-    """Per-shard (tab_main, tab_aux) for ALL shards + the fused flag.
-    Aligned tables when every shard's packing fits int32, else the
-    unaligned fallback for all (mixed layouts are not worth supporting)."""
+    """DIRECT-indexed sentinel table (r04, from PROFILE_r04.json): row k of
+    the (nb + 1, width) tab holds bucket k's packed values
+    (row * nbins * half + localoff + Lq), padded with DIRECT_SENT; row nb
+    (the invalid-kmer overflow bucket) is all sentinel.
+
+    The propose expansion is then ONE whole-row gather at r = kmer —
+    no aux gather (the aux row-start gather was ~half the measured
+    propose gather cost), no count unpack; validity is the vector
+    compare `value < DIRECT_SENT`. And because width is a power of two
+    and every row's (qpos, bucket) run is width-long, the presorted-run
+    bitonic stage skip applies even when the max bucket count (105 at
+    config-2-true) is not a power of two — the aligned layout lost that
+    skip entirely.
+
+    Returns (tab2d int32 (nb+1, width), None, fits). fits=False when a
+    packed value would reach DIRECT_SENT or the table would exceed
+    DIRECT_TABLE_CAP — caller falls back to the aligned layout."""
+    sd = index.shards[shard].seeds
+    st = index.shards[shard].store
+    bs = np.asarray(sd.bucket_starts, np.int64)
+    pos = np.asarray(sd.positions)
+    P = len(pos)
+    counts = np.diff(bs)                      # (nb + 1,) incl. overflow
+    nrows = len(counts)
+    S = st.num_subjects
+    mult = nbins * half
+    if nrows * width * 4 > DIRECT_TABLE_CAP:
+        return None, None, False
+    starts64 = np.asarray(st.starts, np.int64)
+    strides = (
+        np.diff(starts64, append=np.int64(len(st.buffer))) if S
+        else starts64
+    )
+    bound = int(
+        (np.arange(S, dtype=np.int64) * mult + strides - 1 + Lq).max()
+    ) if S else 0
+    if len(st.buffer) >= (1 << 31) or bound >= DIRECT_SENT \
+            or int(counts.max(initial=0)) > width:
+        return None, None, False
+    tab = np.full(nrows * width, DIRECT_SENT, np.int32)
+    if P:
+        base = (
+            np.arange(S, dtype=np.int64) * mult - starts64 + Lq
+        ).astype(np.int32) if S else np.full(1, Lq, np.int32)
+        rep = (
+            np.diff(starts64, append=np.int64(len(st.buffer)))
+            if S else np.asarray([len(st.buffer)])
+        )
+        if S:
+            rep[0] += starts64[0]
+        valmap = np.arange(len(st.buffer), dtype=np.int32)
+        valmap += np.repeat(base, rep)
+        vals = valmap[pos]
+        dshift = (np.arange(nrows, dtype=np.int64) * width - bs[:-1]).astype(
+            np.int64
+        )
+        dst = np.arange(P, dtype=np.int64) + np.repeat(dshift, counts)
+        tab[dst] = vals
+    return tab.reshape(nrows, width), None, True
+
+
+def build_key_tables(
+    index: StackedIndex, nbins: int, half: int, Lq: int, width: int,
+    expand: int,
+):
+    """Per-shard (tab_main, tab_aux) for ALL shards + the layout mode.
+
+    Tries layouts fastest-first, same for every shard (mixed layouts are
+    not worth supporting): "direct" (sentinel table, no aux gather,
+    presorted runs always) -> "aligned" (bucket-aligned rows + aux) ->
+    "csr" (position-parallel fallback). Returns (maps, mode, width_used);
+    for "direct" width_used is the pow2 >= expand row width and tab_aux
+    is a 1-element dummy (the argument plumbing stays uniform)."""
+    n_shards = index.buffers.shape[0]
+    dw = 8
+    while dw < expand:
+        dw *= 2
+    maps = []
+    ok_all = True
+    for i in range(n_shards):
+        tab, _, ok = direct_key_tables(index, i, nbins, half, Lq, dw)
+        ok_all &= ok
+        maps.append((tab, np.zeros(1, np.int32)))
+        if not ok_all:
+            break
+    if ok_all:
+        return maps, "direct", dw
     maps = []
     fuse = True
-    for i in range(index.buffers.shape[0]):
+    for i in range(n_shards):
         tab, aux, ok = aligned_key_tables(index, i, nbins, half, Lq, width)
         fuse &= ok
         maps.append((tab, aux))
     if not fuse:
-        maps = [
-            seed_key_tables(index, i, nbins)
-            for i in range(index.buffers.shape[0])
-        ]
-    return maps, fuse
+        maps = [seed_key_tables(index, i, nbins) for i in range(n_shards)]
+    return maps, ("aligned" if fuse else "csr"), width
 
 
 def pad_stack(xs: List[np.ndarray]) -> np.ndarray:
@@ -233,6 +328,7 @@ def propose_shard(
     nbins: int = 1 << 20,
     use_sort_kernel: bool = False,
     fuse_tables: bool = False,
+    direct_tables: bool = False,
     table_width: int = 64,
     presorted_run: int = 0,
     chain_gamma: int = 0,
@@ -243,24 +339,30 @@ def propose_shard(
     stays bounded (~64 MB) even with the large per-seed expansions that
     realistic DB scales need (seed_len 4-5, caps 64-256).
 
-    Fast path (fuse_tables, engine sets it whenever the packing fits
-    int32): tab_main is the bucket-ALIGNED packed table and tab_aux the
-    (row << cbits | count) lookup (engine.aligned_key_tables) — the
-    per-seed expansion is then ONE aux gather + whole aligned-row gathers,
-    no rotation network, no second bucket_starts gather. Fallback:
-    tab_main/tab_aux are the position-parallel rowbase/localoff tables.
+    Fastest path (direct_tables, r04): tab_main is the DIRECT-indexed
+    sentinel table (engine.direct_key_tables) — the whole expansion is
+    ONE row gather at r = kmer; validity is `value < DIRECT_SENT`
+    (vector compare, no count gather, no aux table at all), and the
+    effective expansion is table_width (pow2), so the presorted-run
+    stage skip always applies. Fast path (fuse_tables): tab_main is the
+    bucket-ALIGNED packed table and tab_aux the (row << cbits | count)
+    lookup (engine.aligned_key_tables) — ONE aux gather + whole
+    aligned-row gathers. Fallback: tab_main/tab_aux are the
+    position-parallel rowbase/localoff tables.
 
-    presorted_run = expand (power of two): each (qpos, bucket) run of the
-    key row is monotone by construction, so runs are built ASCENDING for
-    even qpos and DESCENDING (flipped) for odd qpos and the bitonic sort
-    kernel skips its first log2(run) stages — the padded tail and run
-    interiors already satisfy the stage-log2(run)+1 precondition. The
-    sorted row (and every downstream value) is bit-identical: an integer
-    sort's output does not depend on input order."""
+    presorted_run = run length (power of two): each (qpos, bucket) run
+    of the key row is monotone by construction, so runs are built
+    ASCENDING for even qpos and DESCENDING (flipped) for odd qpos and
+    the bitonic sort kernel skips its first log2(run) stages — the
+    padded tail and run interiors already satisfy the
+    stage-log2(run)+1 precondition. The sorted row (and every
+    downstream value) is bit-identical: an integer sort's output does
+    not depend on input order."""
     Qf, Lq = qflat.shape
     qi = qflat.astype(jnp.int32)
-    per_frame = Lq * expand * 4
-    qchunk = max(128, min(Qf, (64 << 20) // per_frame // 128 * 128))
+    exp_eff = table_width if direct_tables else expand
+    per_frame = Lq * exp_eff * 4
+    qchunk = max(128, min(Qf, (128 << 20) // per_frame // 128 * 128))
     qpad = _round_up(Qf, qchunk)
     qi_p = jnp.concatenate(
         [qi, jnp.full((qpad - Qf, Lq), 25, jnp.int32)], axis=0
@@ -273,8 +375,15 @@ def propose_shard(
 
     def chunk_fn(qc):
         kmers = seed_lookup.query_kmer_keys(qc, seed_len)
-        offs = jnp.arange(expand, dtype=jnp.int32)
-        if fuse_tables:
+        if direct_tables:
+            tg = tab_main[kmers.reshape(-1)].reshape(
+                qc.shape[0], Lq, table_width
+            )
+            keys = jnp.where(
+                tg < DIRECT_SENT, (tg - qpos) // half, cand_mod.BIG
+            )
+        elif fuse_tables:
+            offs = jnp.arange(expand, dtype=jnp.int32)
             aux = tab_aux[kmers]                       # (qc, Lq)
             count = aux & ((1 << cbits) - 1)
             valid = offs < count[..., None]
@@ -288,6 +397,7 @@ def propose_shard(
             tg = w2[:, :expand].reshape(qc.shape[0], Lq, expand)
             keys = jnp.where(valid, (tg - qpos) // half, cand_mod.BIG)
         else:
+            offs = jnp.arange(expand, dtype=jnp.int32)
             start = bucket_starts[kmers]
             count = bucket_starts[kmers + 1] - start
             valid = offs < count[..., None]
@@ -300,7 +410,7 @@ def propose_shard(
             odd = (jnp.arange(Lq, dtype=jnp.int32) & 1)[None, :, None]
             keys = jnp.where(odd == 1, jnp.flip(keys, axis=2), keys)
         return cand_mod.vote_and_rank.__wrapped__(
-            keys.reshape(qc.shape[0], Lq * expand), subject_ids,
+            keys.reshape(qc.shape[0], Lq * exp_eff), subject_ids,
             ncand, min_votes, smooth, nbins, use_sort_kernel,
             presorted_run, chain_gamma,
         )
@@ -335,11 +445,40 @@ def _refine_device(qc, w, g0, lo, hi, matrix, *, gap_open, gap_extend, band):
     return s2, stats
 
 
+def _overlap_rows(buf: jnp.ndarray) -> jnp.ndarray:
+    """(M/256, 512) int8 overlap view: row j = buf[j*256 : j*256 + 512],
+    built ON DEVICE (two concats over the resident buffer, ~0.5 ms for a
+    200 MB shard) so window fetches need ONE row gather instead of two.
+    PROFILE_r04.json: the fetch cost is row-COUNT bound (~106 ns/row
+    through XLA gather regardless of row bytes), so halving the row count
+    halves the align/refine fetch wall. Last row wraps to row 0 — only
+    reachable for clamped (unowned, masked) windows."""
+    b256 = buf.reshape(-1, 256)
+    nxt = jnp.concatenate([b256[1:], b256[:1]], axis=0)
+    return jnp.concatenate([b256, nxt], axis=1)
+
+
 def fetch_windows(buf: jnp.ndarray, g0: jnp.ndarray, lead: int, wlen: int):
     """Aligned-row window fetch: per-alignment slice gathers are ~10x
-    slower than gathering whole 128-lane rows and rotating by (start % 128)
-    with 7 conditional binary shifts (see align_shard). buf must be
-    pad_buffer-ed (length % 128 == 0, >= 256 tail sentinels)."""
+    slower than gathering whole aligned rows and rotating by the start
+    offset with conditional binary shifts (see align_shard). buf must be
+    pad_buffer-ed (length % 256 == 0, >= 512 tail sentinels).
+
+    wlen <= 257: ONE 512 B row gather from the overlap view (any o in
+    [0, 256) leaves o + wlen <= 512) + 8 conditional rolls. Longer
+    windows (long-read shapes) fall back to the multi-row 128-gather."""
+    if wlen <= 257:
+        V = _overlap_rows(buf)
+        gl = jnp.clip(g0 + lead, 0, (V.shape[0] - 2) * 256)
+        r = gl // 256
+        o = gl - r * 256
+        w2 = V[r]
+        for k in range(7, -1, -1):
+            d = 1 << k
+            w2 = jnp.where(
+                (o[:, None] & d) != 0, jnp.roll(w2, -d, axis=1), w2
+            )
+        return w2[:, :wlen]
     M2 = buf.shape[0] // 128
     b2 = buf.reshape(M2, 128)
     nrows = (wlen + 127) // 128 + 1
@@ -504,21 +643,10 @@ def align_shard(
 
     # Window fetch, TPU-native: per-alignment slice gathers (vmapped
     # dynamic_slice) measure ~60 ms and elementwise gathers ~35 ms for a
-    # 4096-read batch, but gathering whole 128-lane-aligned ROWS is ~6 ms
-    # — so fetch the two aligned rows covering each window and rotate by
-    # (start % 128) with 7 conditional binary shifts (pure vector ops).
-    # pad_buffer guarantees len % 128 == 0 and >= 256 bytes of tail pad.
-    M2 = buffer.shape[0] // 128
-    b2 = buffer.reshape(M2, 128)
-    nrows = (Lq + band + 127) // 128 + 1  # covers window + max rotation
-    gl = jnp.clip(g0f + lead, 0, (M2 - nrows) * 128)
-    r = gl // 128
-    o = gl - r * 128
-    w2 = jnp.concatenate([b2[r + i] for i in range(nrows)], axis=1)
-    for _k in range(6, -1, -1):
-        _d = 1 << _k
-        w2 = jnp.where((o[:, None] & _d) != 0, jnp.roll(w2, -_d, axis=1), w2)
-    w_all = w2[:, : Lq + band]
+    # 4096-read batch; whole aligned-ROW gathers are row-count bound
+    # (~106 ns/row) — fetch_windows uses ONE 512 B overlap-view row per
+    # window at short wlen, two 128 B rows otherwise.
+    w_all = fetch_windows(buffer, g0f, lead, Lq + band)
 
     def chunk_fn(args):
         qc, w, g0c, loc, hic = args
@@ -593,7 +721,8 @@ propose_shard_jit = functools.partial(
     jax.jit,
     static_argnames=("seed_len", "expand", "band", "ncand", "min_votes",
                      "smooth", "nbins", "use_sort_kernel", "fuse_tables",
-                     "table_width", "presorted_run", "chain_gamma"),
+                     "direct_tables", "table_width", "presorted_run",
+                     "chain_gamma"),
 )(propose_shard)
 
 align_shard_jit = functools.partial(
@@ -679,10 +808,26 @@ class SearchEngine:
         self.mesh = mesh
         self.n_shards = index.buffers.shape[0]
         n_sw = cfg.query_batch * NFRAMES * cfg.candidates_per_frame
-        # SW chunk: bound the in-flight int32 score tensor (~128 MB) so
+        # SW chunk sizing is KERNEL-MODE-AWARE (r04, PROFILE_r04.json):
+        # the fused kernel has no HBM score tensor — its per-chunk
+        # footprint is just the transposed code slabs (~1 KB/alignment at
+        # config-2) — so it takes big chunks (fewer sequential lax.map
+        # steps, each with fixed prep cost). Score-fed paths keep the
+        # 8192 cap bounding the in-flight int32 score tensor (~128 MB) so
         # long-read configs (large Lq * band) do not blow HBM.
-        mem_cap = max(128, (128 << 20) // (cfg.query_frame_len * cfg.band_width * 4))
-        self.chunk = max(128, min(8192, _round_up(n_sw, 128), mem_cap // 128 * 128))
+        fused_engaged = (use_pallas or fused_interpret) and sw_fused.fused_ok(
+            cfg.query_frame_len, cfg.band_width
+        )
+        if fused_engaged:
+            per_aln = (3 * cfg.query_frame_len + 3 * cfg.band_width + 64) * 4
+            hard_cap = 65536
+        else:
+            per_aln = cfg.query_frame_len * cfg.band_width * 4
+            hard_cap = 8192
+        mem_cap = max(128, (128 << 20) // per_aln)
+        self.chunk = max(
+            128, min(hard_cap, _round_up(n_sw, 128), mem_cap // 128 * 128)
+        )
         self.expand = index.expand_width
         self._propose_static = dict(
             seed_len=cfg.seed_len,
@@ -731,19 +876,27 @@ class SearchEngine:
         while width > 32 and self._padded_total(width) > 2 * raw_positions:
             width //= 2
         self._table_width = width
-        # presorted-run stage skip needs runs that exactly tile power-of-two
-        # blocks of the key row (see propose_shard docstring).
-        run = (
-            self.expand
-            if use_pallas and self.expand >= 8
-            and (self.expand & (self.expand - 1)) == 0
-            else 0
+        maps, mode, width = build_key_tables(
+            index, self._nbins, half, Lqf, width, self.expand
         )
-
-        maps, fuse = build_key_tables(index, self._nbins, half, Lqf, width)
-        self._propose_static["fuse_tables"] = fuse
+        # presorted-run stage skip needs runs that exactly tile power-of-two
+        # blocks of the key row (see propose_shard docstring). Direct
+        # tables guarantee this (run = row width); the aligned layout only
+        # gets it when the max bucket count happens to be a power of two.
+        if mode == "direct":
+            run = width if use_pallas else 0
+        else:
+            run = (
+                self.expand
+                if use_pallas and self.expand >= 8
+                and (self.expand & (self.expand - 1)) == 0 and mode == "aligned"
+                else 0
+            )
+        self.table_mode = mode
+        self._propose_static["fuse_tables"] = mode == "aligned"
+        self._propose_static["direct_tables"] = mode == "direct"
         self._propose_static["table_width"] = width
-        self._propose_static["presorted_run"] = run if fuse else 0
+        self._propose_static["presorted_run"] = run
 
         if mesh is None:
             self.shard_dev: List[dict] = []
@@ -1016,13 +1169,25 @@ class SearchEngine:
         batch's host-side fetch/format/write (ghostm_tpu.pipeline). Loop
         path only (the mesh path fetches through search_batch).
         Bit-identical to search_batch + refine (tests/test_pipeline.py).
-        The whole batch is ONE compiled program (_fullstep_for)."""
+        The whole batch is ONE compiled program (_fullstep_for). A tail
+        batch smaller than cfg.query_batch is PADDED up to it with inert
+        reads (code 25 frames — every row's search is row-independent, so
+        real rows are bit-identical) and the pad rows sliced off: one
+        program shape ever compiles, instead of paying a second
+        minutes-long trace for the final partial batch."""
         assert self.mesh is None
         R = qcodes.shape[0]
+        Rb = self.cfg.query_batch
+        if R < Rb:
+            pad = np.full((Rb - R,) + qcodes.shape[1:], 25, qcodes.dtype)
+            qcodes = np.concatenate([qcodes, pad])
         args = []
         for d in self.shard_dev:
             args += [d[k] for k in self._SHARD_KEYS]
-        return self._fullstep_for(R)(jnp.asarray(qcodes), self.matrix, *args)
+        out = self._fullstep_for(qcodes.shape[0])(
+            jnp.asarray(qcodes), self.matrix, *args
+        )
+        return out[:, :R] if R < Rb else out
 
     def unpack_results(self, arr: np.ndarray):
         """(18, R, K) fetched array -> (BatchHits, stats dict)."""

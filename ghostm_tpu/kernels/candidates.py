@@ -168,6 +168,24 @@ def vote_and_rank(
             f"chain_gamma={chain_gamma} overflows the (max,+) chain scan "
             f"for {S} subjects x {nbins} bins; use more shards"
         )
+    # Fully-fused fast path (r04): sort + run-length vote + top-ncand in
+    # ONE Pallas kernel — the XLA rank passes after a separate sort cost
+    # ~30 ms/chunk of pure HBM re-reads at config-2 scale
+    # (PROFILE_r04.json); in-kernel they are VPU work on resident data.
+    # Falls back to sort + vmapped _per_query for the smooth / chaining
+    # variants and when the packed in-kernel top-k cannot cover the row.
+    if use_sort_kernel and not smooth and not chain_gamma:
+        from ghostm_tpu.kernels.sort import sort_vote_rank_rows
+        L = max(1 << max(M - 1, 1).bit_length(), 128)
+        if 2 * L.bit_length() <= 31:
+            top_keys, votes = sort_vote_rank_rows(
+                keys, ncand, max(min_votes, 1),
+                presorted_run=presorted_run,
+            )
+            top_row = jnp.clip(top_keys // nbins, 0, S - 1)
+            gsid = jnp.where(votes > 0, subject_ids[top_row], BIG)
+            lbin = jnp.where(votes > 0, top_keys % nbins, BIG)
+            return gsid, lbin, votes
     if use_sort_kernel:
         from ghostm_tpu.kernels.sort import sort_rows
         sorted_keys = sort_rows(keys, presorted_run=presorted_run)
@@ -191,7 +209,21 @@ def select_global(
     """Merge proposals from all shards, (Q, n_shards * ncand) each, into the
     global top-N by the same deterministic key. Any candidate in the global
     top-N is in its own shard's top-N, so per-shard proposal followed by
-    this merge is EXACTLY the single-index selection."""
+    this merge is EXACTLY the single-index selection.
+
+    Single-shard fast path: vote_and_rank already emits each shard's
+    proposals in the global order — (votes desc, key asc), and key =
+    row * nbins + bin orders identically to (gsid asc, bin asc) because
+    subject ids are sorted within a shard — with gsid/lbin BIG-masked at
+    votes == 0. With one shard the merge is therefore the identity, and
+    the (Q, ncand) lax.sort it would run costs ~37 ms/batch on TPU
+    (PROFILE_r04.json) for nothing."""
+    if gsid.shape[1] == ncand:
+        return (
+            jnp.where(votes > 0, gsid, BIG),
+            jnp.where(votes > 0, lbin, BIG),
+            votes,
+        )
     g = jnp.where(votes > 0, gsid, BIG)
     b = jnp.where(votes > 0, lbin, BIG)
     nv, sg, sb = lax.sort((-votes, g, b), num_keys=3)

@@ -41,14 +41,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 PAD = jnp.int32(0x7FFFFFFF)
+BIG = 1 << 30   # first invalid key value (matches candidates.BIG)
 _LANES = 128
 
 
-def _sort_kernel(x_ref, o_ref, *, rows: int, length: int, first: int):
+def _bitonic_passes(v, iota, length: int, first: int):
     L = length
-    iota = jax.lax.broadcasted_iota(jnp.int32, (rows, L), 1)
     nstage = L.bit_length() - 1
-    v = x_ref[:]
     for k in range(first, nstage + 1):
         # run direction: ascending iff bit k of the index is 0
         dirbit = (iota >> k) & 1
@@ -64,7 +63,123 @@ def _sort_kernel(x_ref, o_ref, *, rows: int, length: int, first: int):
             lo = jnp.minimum(v, partner)
             hi = jnp.maximum(v, partner)
             v = jnp.where(take_max == 1, hi, lo)
-    o_ref[:] = v
+    return v
+
+
+def _sort_kernel(x_ref, o_ref, *, rows: int, length: int, first: int):
+    iota = jax.lax.broadcasted_iota(jnp.int32, (rows, length), 1)
+    o_ref[:] = _bitonic_passes(x_ref[:], iota, length, first)
+
+
+def _sort_vote_kernel(x_ref, k_ref, v_ref, *, rows: int, length: int,
+                      first: int, ncand: int, min_votes: int):
+    """Sort + run-length vote + iterative top-ncand, all in VMEM (r04,
+    PROFILE_r04.json: the XLA rank passes cost ~30 ms/chunk of pure HBM
+    traffic re-reading the 130 MB sorted tensor; in-kernel they are a few
+    ms of VPU work on data already resident).
+
+    Emits, per row, lanes [0, ncand) = top keys and [ncand, 2*ncand) =
+    top votes in two (rows, LANES) outputs — bit-identical to
+    jax.vmap(candidates._per_query)(sorted) with smooth=False,
+    chain_gamma=0 (same (votes desc, position asc) selection; the lane
+    index differs from the XLA path's M only in the pad tail, where
+    votes are 0 both ways)."""
+    L = length
+    iota = jax.lax.broadcasted_iota(jnp.int32, (rows, L), 1)
+    v = _bitonic_passes(x_ref[:], iota, L, first)
+    BIGv = jnp.int32(BIG)
+    valid = v < BIGv
+    prev = pltpu.roll(v, 1, axis=1)
+    frst = valid & ((iota == 0) | (v != prev))
+    bnd = (frst | ~valid).astype(jnp.int32)   # i32: Mosaic can't roll i1
+    # s_next[i] = i + 1 if bnd[i + 1] (i + 1 == L counts as boundary)
+    bnd_n = pltpu.roll(bnd, L - 1, axis=1)          # bnd[i + 1], wrapped
+    s_next = jnp.where(
+        iota == L - 1, L, jnp.where(bnd_n == 1, iota + 1, BIGv)
+    ).astype(jnp.int32)
+    # suffix (reverse) cummin, Hillis-Steele over lane rolls
+    d = 1
+    while d < L:
+        t = jnp.where(
+            iota < L - d, pltpu.roll(s_next, L - d, axis=1), BIGv
+        )
+        s_next = jnp.minimum(s_next, t)
+        d *= 2
+    votes = jnp.where(frst, s_next - iota, 0)
+    votes = jnp.where(votes >= min_votes, votes, 0)
+    shift = L.bit_length()
+    pk = (votes << shift) | (L - 1 - iota)
+    keys_out = jnp.zeros((rows, _LANES), jnp.int32)
+    votes_out = jnp.zeros((rows, _LANES), jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
+    for c in range(ncand):
+        m = jnp.max(pk, axis=1, keepdims=True)       # unique (idx packed)
+        tv = m >> shift
+        kk = jnp.max(jnp.where(pk == m, v, 0), axis=1, keepdims=True)
+        kk = jnp.where(tv > 0, kk, BIGv)
+        keys_out = jnp.where(lane == c, kk, keys_out)
+        votes_out = jnp.where(lane == c, tv, votes_out)
+        pk = jnp.where(pk == m, 0, pk)
+    k_ref[:] = keys_out
+    v_ref[:] = votes_out
+
+
+def _plan(Q, M, presorted_run):
+    run = max(presorted_run, 1)
+    if run & (run - 1) or (run > 1 and M % run):
+        raise ValueError(f"presorted_run={presorted_run} invalid for M={M}")
+    L = 1 << max(M - 1, 1).bit_length()
+    if L < _LANES:
+        L = _LANES
+    # block rows: keep the block <= 1 MB (Mosaic scoped-vmem accounting
+    # charges in+out, their grid double-buffers, and the loop carry)
+    rows = max(8, min(256, (1 << 20) // (L * 4) // 8 * 8))
+    Qp = -(-Q // rows) * rows
+    return run, L, rows, Qp
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ncand", "min_votes", "presorted_run",
+                              "interpret")
+)
+def sort_vote_rank_rows(
+    x: jnp.ndarray, ncand: int, min_votes: int, presorted_run: int = 0,
+    interpret: bool = False,
+):
+    """Fused sort + run-length vote + top-ncand per row of an (Q, M)
+    int32 key array (invalid keys >= BIG). Returns (top_keys, top_votes),
+    each (Q, ncand) int32, bit-identical to
+    jax.vmap(candidates._per_query)(sort_rows(x)) with smooth=False,
+    chain_gamma=0. Requires 2 * log2(L) + 1 <= 31 for the packed top-k
+    (caller falls back to the XLA rank path otherwise)."""
+    Q, M = x.shape
+    run, L, rows, Qp = _plan(Q, M, presorted_run)
+    if 2 * L.bit_length() > 31:
+        raise ValueError(f"row length {L} overflows packed in-kernel top-k")
+    xp = jnp.full((Qp, L), PAD, jnp.int32)
+    xp = jax.lax.dynamic_update_slice(xp, x.astype(jnp.int32), (0, 0))
+    nstage = L.bit_length() - 1
+    first = min(run.bit_length(), nstage + 1)
+    ko, vo = pl.pallas_call(
+        functools.partial(
+            _sort_vote_kernel, rows=rows, length=L, first=first,
+            ncand=ncand, min_votes=min_votes,
+        ),
+        grid=(Qp // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, L), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows, _LANES), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ] * 2,
+        out_shape=[jax.ShapeDtypeStruct((Qp, _LANES), jnp.int32)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(xp)
+    return ko[:Q, :ncand], vo[:Q, :ncand]
 
 
 @functools.partial(

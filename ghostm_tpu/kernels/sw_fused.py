@@ -75,6 +75,19 @@ UNROLL = 8
 NIBBLE_BIAS = 4  # packed nibble = score + 4; BLOSUM62 scores are in [-4, 11]
 
 
+def fused_ok(Lq: int, band: int) -> bool:
+    """True when this kernel's packed best-tracking covers (Lq, band) —
+    the engine and align_shard share this predicate (chunk sizing must
+    agree with the kernel choice)."""
+    if band % 2 or band < 16:
+        return False
+    h = band // 2
+    A = Lq + h - 1
+    at = -(-(A if A <= 256 else 128) // UNROLL) * UNROLL
+    SH = int(-(-A // at) * at + 2 * h).bit_length()
+    return 15 * Lq < (1 << (31 - SH))
+
+
 def build_packed_matrix(matrix: np.ndarray) -> Tuple[tuple, int]:
     """(32, 32) int32 padded scoring table -> ((32, 4) nibble-word tuple,
     code_limit).

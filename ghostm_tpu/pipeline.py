@@ -62,6 +62,25 @@ def run_search(
 
         profile_cm = jax.profiler.trace(cfg.profile_dir)
         profile_cm.__enter__()
+    # Optional device-memory accounting (VERDICT r03 missing #5): when
+    # GHOSTM_TPU_HBM_LOG names a file, record per-batch device
+    # memory_stats() peaks there at exit. Zero cost when unset.
+    hbm_log = os.environ.get("GHOSTM_TPU_HBM_LOG")
+    hbm_peak = {}
+
+    def _hbm_sample():
+        if not hbm_log:
+            return
+        try:
+            import jax
+
+            st = jax.local_devices()[0].memory_stats() or {}
+            for k in ("bytes_in_use", "peak_bytes_in_use",
+                      "largest_alloc_size", "bytes_limit"):
+                if k in st:
+                    hbm_peak[k] = max(hbm_peak.get(k, 0), int(st[k]))
+        except Exception:
+            hbm_peak.setdefault("error", 1)
     # Software pipelining (loop path): batch i+1's device work is DISPATCHED
     # (JAX dispatch is async) before batch i's single packed result array is
     # fetched, so device compute overlaps the host-side fetch + TSV
@@ -142,6 +161,7 @@ def run_search(
                 out_f, cfg, names, lens, snames, hits, stats,
                 engine.index.total_residues, db_seqs,
             )
+        _hbm_sample()
         wall = time.time() - t0
         n_aln = R * NFRAMES * cfg.candidates_per_frame
         cells = n_aln * cfg.query_frame_len * cfg.band_width
@@ -205,5 +225,8 @@ def run_search(
     finally:
         if profile_cm:
             profile_cm.__exit__(None, None, None)
+        if hbm_log and hbm_peak:
+            with open(hbm_log, "w") as f:
+                json.dump(hbm_peak, f)
     log.info("search done: %s", metrics.dumps())
     return total_rows

@@ -61,11 +61,13 @@ def main():
     buffers = np.stack(
         [pad_buffer(index.buffers[i], cfg) for i in range(2)]
     )
-    maps, _fuse = build_key_tables(
+    maps, mode, _w = build_key_tables(
         index, ref_eng._nbins, cfg.band_width // 2, cfg.query_frame_len,
-        ref_eng._table_width,
+        ref_eng._table_width, ref_eng.expand,
     )
-    assert _fuse == ref_eng._propose_static["fuse_tables"]
+    assert (mode == "direct") == ref_eng._propose_static["direct_tables"]
+    assert (mode == "aligned") == ref_eng._propose_static["fuse_tables"]
+    assert _w == ref_eng._propose_static["table_width"]
     qflat = qcodes.reshape(-1, cfg.query_frame_len)
     out = step(
         jax.device_put(qflat, pm.query_sharding(mesh)),

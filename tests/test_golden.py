@@ -26,3 +26,26 @@ def test_config1_golden(tmp_path):
     with open(os.path.join(GOLD, "config1_hits.tsv")) as f:
         want = f.read()
     assert got == want, "golden config-1 hit table changed"
+
+
+def test_longread_golden(tmp_path):
+    """Committed 5 kbp chained-long-read dataset (config 5): byte-stable
+    hit table through the CPU path. The TPU --pallas leg diffs against the
+    same file in tools/verify_golden.sh."""
+    prefix = str(tmp_path / "idx")
+    out = str(tmp_path / "hits.tsv")
+    cfgf = os.path.join(GOLD, "longread_cfg.json")
+    assert cli_main(
+        ["db", "-i", os.path.join(GOLD, "longread_db.fa"), "-o", prefix,
+         "--config", cfgf]
+    ) == 0
+    assert cli_main(
+        ["aln", "-d", prefix, "-i", os.path.join(GOLD, "longread_reads.fa"),
+         "-o", out, "--no-pallas", "--config", cfgf,
+         "--max-read-len", "5300"]
+    ) == 0
+    with open(out) as f:
+        got = f.read()
+    with open(os.path.join(GOLD, "longread_hits.tsv")) as f:
+        want = f.read()
+    assert got == want, "golden long-read hit table changed"

@@ -109,6 +109,27 @@ def test_ka_params_published_values():
     assert Config(ka_lambda=0.3, ka_k=0.05).ka_params()[:2] == (0.3, 0.05)
 
 
+def test_ka_params_other_matrices():
+    """Pin the non-BLOSUM62 gapped tables (blast_stat.c
+    BLOSUM{45,50,80,90}_VALUES / PAM{30,70,250}_VALUES defaults: the gap
+    settings blastp uses by default for each matrix)."""
+    assert evalue.params_for("BLOSUM45", 15, 2) == (0.203, 0.041, 0.12)
+    assert evalue.params_for("BLOSUM50", 13, 2) == (0.193, 0.035, 0.12)
+    assert evalue.params_for("BLOSUM80", 10, 1) == (0.299, 0.071, 0.27)
+    assert evalue.params_for("BLOSUM90", 10, 1) == (0.290, 0.075, 0.28)
+    assert evalue.params_for("PAM30", 9, 1) == (0.294, 0.11, 0.61)
+    assert evalue.params_for("PAM70", 10, 1) == (0.291, 0.091, 0.41)
+    assert evalue.params_for("PAM250", 14, 2) == (0.182, 0.024, 0.073)
+    # unknown gap combos for a known matrix name the known ones
+    with pytest.raises(ValueError, match="BLOSUM80"):
+        evalue.params_for("BLOSUM80", 3, 3)
+    # every table row is a plausible KA fit: lambda, K, H all positive and
+    # lambda below the matrix's ungapped lambda (gapping loosens the fit)
+    for (m, _, _), (lam, k, h) in evalue.GAPPED_PARAMS.items():
+        assert 0 < lam <= evalue.UNGAPPED_PARAMS[m][0]
+        assert 0 < k < 1 and 0 < h < 2
+
+
 def test_evalue_length_adjustment():
     """BLAST finite-size correction: effective lengths shrink the search
     space (E smaller), are floored at 1/K for short queries, and the

@@ -43,6 +43,37 @@ def test_sort_rows_presorted_runs(rng, q, m, run):
     assert np.array_equal(got, np.sort(x, axis=1))
 
 
+@pytest.mark.parametrize(
+    "q,m,run,minv", [(16, 2560, 64, 1), (8, 640, 128, 2), (8, 96, 1, 1)]
+)
+def test_sort_vote_rank_kernel_matches_xla(rng, q, m, run, minv):
+    """The fused sort+vote+top-k kernel (r04) must be bit-identical to
+    sort_rows + vmapped _per_query — keys, votes, tie order, min_votes
+    filtering, zero-vote tail — incl. the presorted-run stage skip."""
+    import functools
+
+    from ghostm_tpu.kernels.sort import sort_vote_rank_rows
+
+    nbins, ncand = 128, 8
+    keys = rng.integers(0, 40 * nbins, (q, m)).astype(np.int32)
+    keys[rng.random((q, m)) < 0.4] = int(cand.BIG)
+    if run > 1:
+        k3 = np.sort(keys.reshape(q, m // run, run), axis=2)
+        k3[:, 1::2] = k3[:, 1::2, ::-1]
+        keys = k3.reshape(q, m)
+    gk, gv = sort_vote_rank_rows(
+        jnp.asarray(keys), ncand, minv, presorted_run=run, interpret=True
+    )
+    ref = np.sort(keys, axis=1)
+    fn = functools.partial(
+        cand._per_query, nbins=nbins, ncand=ncand, min_votes=minv,
+        smooth=False, chain_gamma=0,
+    )
+    wk, wv = jax.vmap(fn)(jnp.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(gk), np.asarray(wk))
+    np.testing.assert_array_equal(np.asarray(gv), np.asarray(wv))
+
+
 def test_vote_and_rank_matches_topk_reference(rng):
     """The packed-argmax ranking must reproduce lax.top_k's exact
     (votes desc, first-index) contract, including tie handling."""

@@ -97,8 +97,9 @@ def main():
     _enable_compile_cache()
     elems = GRID * ROWS * WIDTH
     N1, N2 = 2, 10
+    REPEATS = 5
     results = {}
-    for dtype in (jnp.int32, jnp.float32, jnp.int16):
+    for dtype in (jnp.int32, jnp.float32):
         for regonly in (False, True):
             name = jnp.dtype(dtype).name + ("_regonly" if regonly else "")
             try:
@@ -106,22 +107,39 @@ def main():
                     np.random.default_rng(0).integers(
                         0, 7, (GRID, ROWS, WIDTH)), dtype,
                 )
-                per = {}
-                for K in (64, 512):
-                    f = make_chain(dtype, K, regonly)
-                    t1 = timeit(f, xs, N1)
-                    t2 = timeit(f, xs, N2)
-                    per[K] = (t2 - t1) / (N2 - N1)
-                slope = (per[512] - per[64]) / (512 - 64)  # s per chain-op
-                rate = elems / slope / 1e12 if slope > 0 else float("nan")
+                f64 = make_chain(dtype, 64, regonly)
+                f512 = make_chain(dtype, 512, regonly)
+                # r04 (VERDICT weak #5): the probe's run-to-run variance on
+                # this shared host is the claim-limiting factor — measure it.
+                # REPEATS independent double-slope estimates; report
+                # min/median/max and spread = (max - min) / median.
+                rates = []
+                for _ in range(REPEATS * 2):
+                    if len(rates) >= REPEATS:
+                        break
+                    per = {}
+                    for K, f in ((64, f64), (512, f512)):
+                        t1 = timeit(f, xs, N1)
+                        t2 = timeit(f, xs, N2)
+                        per[K] = (t2 - t1) / (N2 - N1)
+                    slope = (per[512] - per[64]) / (512 - 64)
+                    if slope > 0:
+                        rates.append(elems / slope / 1e12)
+                if not rates:
+                    raise RuntimeError("all slope attempts non-positive")
+                rates.sort()
+                med = rates[len(rates) // 2]
+                spread = (rates[-1] - rates[0]) / med
                 results[name] = {
-                    "tops_per_s": round(rate, 3),
-                    "t64_ms": round(per[64] * 1e3, 3),
-                    "t512_ms": round(per[512] * 1e3, 3),
+                    "tops_per_s": round(med, 3),
+                    "tops_min": round(rates[0], 3),
+                    "tops_max": round(rates[-1], 3),
+                    "spread": round(spread, 3),
+                    "n_estimates": len(rates),
                 }
-                print(f"{name:16s}: {rate:6.2f} Tops/s "
-                      f"(dev t64={per[64]*1e3:.3f} ms, "
-                      f"t512={per[512]*1e3:.3f} ms)", flush=True)
+                print(f"{name:16s}: {med:6.2f} Tops/s "
+                      f"[{rates[0]:.2f}, {rates[-1]:.2f}] "
+                      f"spread {spread:.2f}", flush=True)
             except Exception as e:
                 results[name] = {
                     "error": f"{type(e).__name__}: {str(e)[:160]}"
