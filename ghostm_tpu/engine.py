@@ -702,14 +702,27 @@ def align_shard(
     return score, qend, bend, s_end, g0, srow, owned
 
 
-def rank_reads(score, gsid, frame, qend, s_end, bend, g0, srow, shard, topk):
-    """Per-read deterministic top-k over (R, M) fields (device path)."""
+def rank_reads(score, gsid, frame, qend, s_end, bend, g0, srow, shard, topk,
+               use_kernel: bool = False):
+    """Per-read deterministic top-k over (R, M) fields (device path).
+
+    use_kernel (TPU): the 9-operand variadic lax.sort lowers to ~28 ms
+    on TPU for a (4096, 48) problem (PROFILE_r04.json) — the Pallas
+    lexicographic bitonic (kernels/sort.lex_rank_rows) does the same
+    compare-exchange work in well under a millisecond. It additionally
+    breaks full-5-key ties by original position (stable semantics),
+    which lax.sort leaves unspecified — same output whenever the 5-key
+    tie-break is decisive, which the shard-invariance contract already
+    requires."""
     g = jnp.where(score > 0, gsid, BIG)
-    ops = lax.sort(
-        (-score, g, frame, qend, s_end, bend, g0, srow, shard),
-        num_keys=SORT_NUM_KEYS,
-    )
-    out = tuple(op[:, :topk] for op in ops)
+    fields = (-score, g, frame, qend, s_end, bend, g0, srow, shard)
+    if use_kernel:
+        from ghostm_tpu.kernels.sort import lex_rank_rows
+
+        out = lex_rank_rows(fields, SORT_NUM_KEYS, topk)
+    else:
+        ops = lax.sort(fields, num_keys=SORT_NUM_KEYS)
+        out = tuple(op[:, :topk] for op in ops)
     return (-out[0],) + out[1:]
 
 
@@ -732,18 +745,20 @@ align_shard_jit = functools.partial(
 )(align_shard)
 
 
-@functools.partial(jax.jit, static_argnames=("ncand",))
-def _select_jit(pg, pb, pv, ncand):
+@functools.partial(jax.jit, static_argnames=("ncand", "use_kernel"))
+def _select_jit(pg, pb, pv, ncand, use_kernel=False):
     """Global candidate selection on device (votes desc, gsid, lbin)."""
-    sel_g, sel_b, sel_v = cand_mod.select_global(pg, pb, pv, ncand)
+    sel_g, sel_b, sel_v = cand_mod.select_global(
+        pg, pb, pv, ncand, use_kernel
+    )
     return (
         jnp.where(sel_v > 0, sel_g, BIG),
         jnp.where(sel_v > 0, sel_b, BIG),
     )
 
 
-@functools.partial(jax.jit, static_argnames=("R", "K"))
-def _merge_rank_jit(stacked, sel_g, R, K):
+@functools.partial(jax.jit, static_argnames=("R", "K", "use_kernel"))
+def _merge_rank_jit(stacked, sel_g, R, K, use_kernel=False):
     """Disjoint-mask merge of per-shard align outputs + per-read top-k,
     on device; returns ONE packed (9, R, K) int32 array (single fetch)."""
     score, qend, bend, s_end, g0, srow, owned = stacked  # each (S, Qf, C)
@@ -764,7 +779,7 @@ def _merge_rank_jit(stacked, sel_g, R, K):
     gsid = jnp.where(score_m > 0, sel_g, BIG).reshape(R, M)
     return jnp.stack(rank_reads(
         rs(score_m), gsid, frame, rs(qend_m), rs(s_end_m), rs(bend_m),
-        rs(g0_m), rs(srow_m), rs(shard_m), K,
+        rs(g0_m), rs(srow_m), rs(shard_m), K, use_kernel,
     ))
 
 
@@ -1004,7 +1019,7 @@ class SearchEngine:
         pg = jnp.concatenate([p[0] for p in props], axis=1)
         pb = jnp.concatenate([p[1] for p in props], axis=1)
         pv = jnp.concatenate([p[2] for p in props], axis=1)
-        sel_g, sel_b = sfn(pg, pb, pv, C)
+        sel_g, sel_b = sfn(pg, pb, pv, C, als.get("use_pallas", False))
         outs = []
         for d in shard_dev:
             outs.append(afn(
@@ -1013,7 +1028,8 @@ class SearchEngine:
                 **als,
             ))
         stacked = [jnp.stack(x) for x in zip(*outs)]
-        return mfn(stacked, sel_g, R, K)
+        uk = als.get("use_pallas", False)
+        return mfn(stacked, sel_g, R, K, uk)
 
     def _search_dev(self, qflat: jnp.ndarray, R: int) -> jnp.ndarray:
         return self._search_phases(qflat, R, jitted=True)

@@ -204,7 +204,8 @@ def vote_and_rank(
 
 
 def select_global(
-    gsid: jnp.ndarray, lbin: jnp.ndarray, votes: jnp.ndarray, ncand: int
+    gsid: jnp.ndarray, lbin: jnp.ndarray, votes: jnp.ndarray, ncand: int,
+    use_kernel: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Merge proposals from all shards, (Q, n_shards * ncand) each, into the
     global top-N by the same deterministic key. Any candidate in the global
@@ -226,5 +227,10 @@ def select_global(
         )
     g = jnp.where(votes > 0, gsid, BIG)
     b = jnp.where(votes > 0, lbin, BIG)
+    if use_kernel:
+        from ghostm_tpu.kernels.sort import lex_rank_rows
+
+        nv, sg, sb = lex_rank_rows((-votes, g, b), 3, ncand)
+        return sg, sb, -nv
     nv, sg, sb = lax.sort((-votes, g, b), num_keys=3)
     return sg[:, :ncand], sb[:, :ncand], -nv[:, :ncand]

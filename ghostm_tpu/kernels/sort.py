@@ -124,6 +124,105 @@ def _sort_vote_kernel(x_ref, k_ref, v_ref, *, rows: int, length: int,
     v_ref[:] = votes_out
 
 
+def _lex_rank_kernel(*refs, rows: int, length: int, num_keys: int,
+                     nops: int):
+    """Multi-operand bitonic sort, ascending-lexicographic on the first
+    num_keys operands with the ORIGINAL POSITION as the final tie-break
+    (stable-sort semantics); remaining operands ride as payload. Used for
+    the per-read hit ranking: XLA's 9-operand variadic lax.sort costs
+    ~28 ms/batch on TPU for a (4096, 48) problem whose actual compare
+    work is well under a millisecond of VPU time."""
+    ins = refs[:nops]
+    outs = refs[nops:]
+    L = length
+    iota = jax.lax.broadcasted_iota(jnp.int32, (rows, L), 1)
+    vs = [r[:] for r in ins] + [iota]          # original index rides last
+    nstage = L.bit_length() - 1
+    for k in range(1, nstage + 1):
+        dirbit = (iota >> k) & 1
+        for j in range(k - 1, -1, -1):
+            d = 1 << j
+            bit = (iota >> j) & 1
+            take_max = (bit ^ dirbit) == 1
+            partners = [
+                jnp.where(
+                    bit == 1,
+                    pltpu.roll(v, d, axis=1),
+                    pltpu.roll(v, L - d, axis=1),
+                )
+                for v in vs
+            ]
+            # partner < self on (key_0..key_{nk-1}, original index)
+            less = None
+            eq = None
+            for i in list(range(num_keys)) + [nops]:
+                li = partners[i] < vs[i]
+                if less is None:
+                    less, eq = li, partners[i] == vs[i]
+                else:
+                    less = less | (eq & li)
+                    if i != nops:
+                        eq = eq & (partners[i] == vs[i])
+            vs = [
+                jnp.where(
+                    take_max,
+                    jnp.where(less, v, p),     # hi
+                    jnp.where(less, p, v),     # lo
+                )
+                for v, p in zip(vs, partners)
+            ]
+    for o, v in zip(outs, vs[:nops]):
+        o[:] = v
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_keys", "topk", "interpret")
+)
+def lex_rank_rows(ops, num_keys: int, topk: int, interpret: bool = False):
+    """Sort each row of the (Q, M) int32 operand tuple ascending-
+    lexicographically by the first num_keys operands (original position
+    breaks full-key ties, i.e. stable-sort semantics) and return the
+    first topk columns of every operand. Pad columns hold PAD in every
+    operand, so they sort last."""
+    Q, M = ops[0].shape
+    nops = len(ops)
+    L = 1 << max(M - 1, 1).bit_length()
+    if L < _LANES:
+        L = _LANES
+    rows = max(8, min(256, (1 << 20) // (L * 4 * (nops + 1)) // 8 * 8))
+    Qp = -(-Q // rows) * rows
+    padded = []
+    for op in ops:
+        xp = jnp.full((Qp, L), PAD, jnp.int32)
+        padded.append(
+            jax.lax.dynamic_update_slice(xp, op.astype(jnp.int32), (0, 0))
+        )
+    outs = pl.pallas_call(
+        functools.partial(
+            _lex_rank_kernel, rows=rows, length=L, num_keys=num_keys,
+            nops=nops,
+        ),
+        grid=(Qp // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, L), lambda g: (g, 0), memory_space=pltpu.VMEM)
+        ] * nops,
+        out_specs=[
+            pl.BlockSpec((rows, L), lambda g: (g, 0), memory_space=pltpu.VMEM)
+        ] * nops,
+        out_shape=[jax.ShapeDtypeStruct((Qp, L), jnp.int32)] * nops,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            # long-read rows (L = 32k+) exceed the default 16 MB scoped-
+            # vmem accounting even at the minimum 8-row block (Mosaic
+            # keeps ~20 block-sized temporaries live across the unrolled
+            # passes); v5e has 128 MB physical VMEM.
+            vmem_limit_bytes=96 << 20,
+        ),
+        interpret=interpret,
+    )(*padded)
+    return tuple(o[:Q, :topk] for o in outs)
+
+
 def _plan(Q, M, presorted_run):
     run = max(presorted_run, 1)
     if run & (run - 1) or (run > 1 and M % run):
@@ -176,6 +275,11 @@ def sort_vote_rank_rows(
         out_shape=[jax.ShapeDtypeStruct((Qp, _LANES), jnp.int32)] * 2,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            # long-read rows (L = 32k+) exceed the default 16 MB scoped-
+            # vmem accounting even at the minimum 8-row block (Mosaic
+            # keeps ~20 block-sized temporaries live across the unrolled
+            # passes); v5e has 128 MB physical VMEM.
+            vmem_limit_bytes=96 << 20,
         ),
         interpret=interpret,
     )(xp)
@@ -231,6 +335,11 @@ def sort_rows(
         out_shape=jax.ShapeDtypeStruct((Qp, L), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            # long-read rows (L = 32k+) exceed the default 16 MB scoped-
+            # vmem accounting even at the minimum 8-row block (Mosaic
+            # keeps ~20 block-sized temporaries live across the unrolled
+            # passes); v5e has 128 MB physical VMEM.
+            vmem_limit_bytes=96 << 20,
         ),
         interpret=interpret,
     )(xp)

@@ -250,20 +250,29 @@ def traceback_stats_device(
     sstart = jnp.where(alive, i + b, -1)
     zeros = jnp.zeros(n, jnp.int32)
     # Pack the diagonal match-equality bit (q[i] == w[i+b]) into bit 4 of
-    # each move byte so the walk needs ONE element gather per step instead
-    # of three (mv + qchar + schar) — the walk's cost IS its gathers
-    # (~1.4 ms per 40k-element gather on v5e; everything else is trivial).
+    # each move byte so the walk needs ONE element lookup per step instead
+    # of three (mv + qchar + schar). r04: the lookup is a masked-SUM over
+    # the int8 move plane, not a gather — take_along_axis inside the
+    # while_loop cost ~1.4 ms/step on v5e (gathers in loop bodies are
+    # pessimized ~12x), while streaming the 50 MB int8 plane through a
+    # fused compare+select+reduce costs ~65 us/step. Exactly one lane
+    # matches (the row index is unique), so the sum IS the element —
+    # bit-identical.
     w_sk = jnp.stack([w[:, d : d + Lq] for d in range(B)], axis=-1)
-    eq_plane = (qc[:, :, None] == w_sk).astype(jnp.int32)
-    mvi = (moves.astype(jnp.int32) | (eq_plane << 4)).reshape(n, Lq * B)
+    eq_plane = (qc[:, :, None] == w_sk).astype(jnp.uint8)
+    mvi = (moves | (eq_plane << 4)).reshape(n, Lq * B)
+    lanes = jnp.arange(Lq * B, dtype=jnp.int32)[None, :]
 
     def body(state):
         i, b, st, qstart, sstart, length, matches, mismatch, gapopen = state
         ii = jnp.clip(i, 0, Lq - 1)
         bb = jnp.clip(b, 0, B - 1)
-        mv = jnp.take_along_axis(
-            mvi, (ii * B + bb)[:, None], axis=1
-        )[:, 0]
+        mv = jnp.sum(
+            jnp.where((ii * B + bb)[:, None] == lanes, mvi, 0).astype(
+                jnp.int32
+            ),
+            axis=1,
+        )
         inH = st == 0
         c = mv & 3
         stop = inH & ((c == 0) | (i < 0) | (b < 0) | (b >= B))

@@ -60,7 +60,9 @@ def make_distributed_step(mesh, propose_static: dict, align_static: dict,
         flat = [
             jnp.moveaxis(g, 0, 1).reshape(Qf, n_db * ncand) for g in gath
         ]
-        sel_g, sel_b, sel_v = select_global(*flat, ncand)
+        sel_g, sel_b, sel_v = select_global(
+            *flat, ncand, use_kernel=align_static.get("use_pallas", False)
+        )
         sel_g = jnp.where(sel_v > 0, sel_g, BIG)
         sel_b = jnp.where(sel_v > 0, sel_b, BIG)
         # --- phase 3: align + disjoint-mask merge
@@ -94,6 +96,7 @@ def make_distributed_step(mesh, propose_static: dict, align_static: dict,
         out = rank_reads(
             rs(score), gsid, frame, rs(qend), rs(s_end), rs(bend), rs(g0),
             rs(srow), rs(shard), topk,
+            use_kernel=align_static.get("use_pallas", False),
         )
         # --- phase 4: in-graph refine (stats for the reported hits) ---
         # Each db shard fetches windows for the hits IT owns from its local

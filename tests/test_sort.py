@@ -74,6 +74,34 @@ def test_sort_vote_rank_kernel_matches_xla(rng, q, m, run, minv):
     np.testing.assert_array_equal(np.asarray(gv), np.asarray(wv))
 
 
+@pytest.mark.parametrize("q,m,nk,nops,topk", [
+    (64, 48, 5, 9, 10), (16, 16, 3, 3, 8), (8, 100, 2, 4, 100),
+])
+def test_lex_rank_rows_matches_lax_sort(rng, q, m, nk, nops, topk):
+    """The multi-operand lexicographic bitonic must match variadic
+    lax.sort on its first nk keys (payload association checked through a
+    row-unique key so stability cannot differ)."""
+    import jax.numpy as jnp2
+    from jax import lax
+
+    from ghostm_tpu.kernels.sort import lex_rank_rows
+
+    # make the nk-th key row-unique so the full key tuple is total and
+    # lax.sort's unspecified tie handling cannot diverge from ours
+    ops = [rng.integers(0, 6, (q, m)).astype(np.int32) for _ in range(nk - 1)]
+    ops.append(
+        np.stack([rng.permutation(m) for _ in range(q)]).astype(np.int32)
+    )
+    ops += [rng.integers(-50, 50, (q, m)).astype(np.int32)
+            for _ in range(nops - nk)]
+    got = lex_rank_rows(
+        tuple(jnp2.asarray(o) for o in ops), nk, topk, interpret=True
+    )
+    want = lax.sort(tuple(jnp2.asarray(o) for o in ops), num_keys=nk)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w)[:, :topk])
+
+
 def test_vote_and_rank_matches_topk_reference(rng):
     """The packed-argmax ranking must reproduce lax.top_k's exact
     (votes desc, first-index) contract, including tie handling."""
