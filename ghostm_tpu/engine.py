@@ -373,14 +373,21 @@ def propose_shard(
     nrows = -(-expand // table_width)
     cbits = int(table_width).bit_length()
 
+    # the last seed_len - 1 query positions can never host a valid k-mer
+    # (window runs off the frame) — statically trim them from the direct
+    # gather: the gather is row-count bound (~106 ns/row), so k=5 saves
+    # 10% of the propose gather wall for free (trimmed keys were BIG).
+    Lq_eff = max(Lq - seed_len + 1, 1) if direct_tables else Lq
+    qpos_eff = qpos[:, :Lq_eff]
+
     def chunk_fn(qc):
         kmers = seed_lookup.query_kmer_keys(qc, seed_len)
         if direct_tables:
-            tg = tab_main[kmers.reshape(-1)].reshape(
-                qc.shape[0], Lq, table_width
+            tg = tab_main[kmers[:, :Lq_eff].reshape(-1)].reshape(
+                qc.shape[0], Lq_eff, table_width
             )
             keys = jnp.where(
-                tg < DIRECT_SENT, (tg - qpos) // half, cand_mod.BIG
+                tg < DIRECT_SENT, (tg - qpos_eff) // half, cand_mod.BIG
             )
         elif fuse_tables:
             offs = jnp.arange(expand, dtype=jnp.int32)
@@ -407,10 +414,13 @@ def propose_shard(
             lbin = (tab_aux[idx] - qpos + Lq) // half
             keys = jnp.where(valid, tab_main[idx] + lbin, cand_mod.BIG)
         if presorted_run > 1:
-            odd = (jnp.arange(Lq, dtype=jnp.int32) & 1)[None, :, None]
+            odd = (
+                jnp.arange(keys.shape[1], dtype=jnp.int32) & 1
+            )[None, :, None]
             keys = jnp.where(odd == 1, jnp.flip(keys, axis=2), keys)
         return cand_mod.vote_and_rank.__wrapped__(
-            keys.reshape(qc.shape[0], Lq * exp_eff), subject_ids,
+            keys.reshape(qc.shape[0], keys.shape[1] * keys.shape[2]),
+            subject_ids,
             ncand, min_votes, smooth, nbins, use_sort_kernel,
             presorted_run, chain_gamma,
         )
@@ -830,8 +840,13 @@ class SearchEngine:
         # steps, each with fixed prep cost). Score-fed paths keep the
         # 8192 cap bounding the in-flight int32 score tensor (~128 MB) so
         # long-read configs (large Lq * band) do not blow HBM.
-        fused_engaged = (use_pallas or fused_interpret) and sw_fused.fused_ok(
-            cfg.query_frame_len, cfg.band_width
+        _fw_probe, _ = sw_fused.build_packed_matrix(
+            padded_matrix(cfg.matrix, hard_stop=True)
+        )
+        fused_engaged = (
+            (use_pallas or fused_interpret)
+            and _fw_probe is not None   # matrix fits the nibble packing
+            and sw_fused.fused_ok(cfg.query_frame_len, cfg.band_width)
         )
         if fused_engaged:
             per_aln = (3 * cfg.query_frame_len + 3 * cfg.band_width + 64) * 4

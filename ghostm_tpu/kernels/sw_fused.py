@@ -107,9 +107,12 @@ def build_packed_matrix(matrix: np.ndarray) -> Tuple[tuple, int]:
     assert col_valid[:code_limit].all(), "valid codes must be contiguous from 0"
     nib = np.where(m <= LOW, 0, m + NIBBLE_BIAS)
     nib = np.where(row_valid[:, None] & col_valid[None, :], nib, 0)
-    assert ((nib >= 0) & (nib <= 15) | ~row_valid[:, None]).all(), (
-        "matrix values out of nibble range [-4, 11]"
-    )
+    if not ((nib >= 0) & (nib <= 15) | ~row_valid[:, None]).all():
+        # matrix values outside the nibble range [-4, 11] (e.g. BLOSUM50's
+        # [-5, 15], PAM30's [-17, 13]) cannot ride the 4-bit profile
+        # words — signal the engine to use the score-fed kernels, which
+        # take any int matrix, instead of failing at init.
+        return None, code_limit
     words = np.zeros((32, 4), np.int64)
     for k in range(4):
         for s in range(8):

@@ -80,6 +80,16 @@ def run_search(
                       "largest_alloc_size", "bytes_limit"):
                 if k in st:
                     hbm_peak[k] = max(hbm_peak.get(k, 0), int(st[k]))
+            if not st:
+                # backends without allocator stats (the axon tunnel):
+                # sum the live device arrays — a per-batch lower bound on
+                # residency (excludes XLA temp workspace)
+                live = sum(
+                    a.size * a.dtype.itemsize for a in jax.live_arrays()
+                )
+                hbm_peak["live_array_bytes"] = max(
+                    hbm_peak.get("live_array_bytes", 0), int(live)
+                )
         except Exception:
             hbm_peak.setdefault("error", 1)
     # Software pipelining (loop path): batch i+1's device work is DISPATCHED

@@ -164,3 +164,17 @@ def test_engine_align_fused_matches_plain():
     )
     for a, b in zip(out_plain, out_fused):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_packed_matrix_out_of_nibble_range_falls_back():
+    """Matrices outside the [-4, 11] nibble range (BLOSUM50-class values)
+    must return words=None so the engine routes align through the
+    score-fed kernels instead of failing at init."""
+    mat = padded_matrix().copy()
+    mat[:24, :24] = mat[:24, :24] * 2      # doubles W-W to 22 > 11
+    words, climit = sw_fused.build_packed_matrix(mat)
+    assert words is None
+    assert climit == 23                     # column validity still derived
+    # the standard matrix still packs
+    words2, _ = sw_fused.build_packed_matrix(padded_matrix())
+    assert words2 is not None

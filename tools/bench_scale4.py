@@ -43,7 +43,8 @@ from tools.bench_scale3 import (
 
 def run_cli(args_list, timeout=14400, hbm_log=None):
     cmd = [sys.executable, "-m", "ghostm_tpu"] + args_list
-    if os.path.exists("/usr/bin/time"):
+    have_time = os.path.exists("/usr/bin/time")
+    if have_time:
         cmd = ["/usr/bin/time", "-v"] + cmd
     env = dict(os.environ)
     if hbm_log:
@@ -59,7 +60,59 @@ def run_cli(args_list, timeout=14400, hbm_log=None):
     for line in r.stderr.splitlines():
         if "Maximum resident set size" in line:
             rss = int(line.split()[-1]) * 1024
+    if rss is None:
+        # no /usr/bin/time on this box: getrusage(RUSAGE_CHILDREN) is a
+        # high-water mark over all reaped children — the big aln run
+        # dominates, so attribute it there (caveated in the protocol)
+        import resource
+
+        rss = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss * 1024
     return dt, rss
+
+
+def mem_probe(args):
+    """Peak host RSS + device HBM from a SHORT run at the same batch
+    shapes (memory residency is batch-shape-bound, not stream-length-
+    bound), merged into an existing SCALE4.json. Used when the big run
+    predates the rss/hbm instrumentation."""
+    idx = os.path.join(CACHE, "idx2")
+    rfa = os.path.join(CACHE, f"reads_{args.reads}.fa")
+    sub = os.path.join(CACHE, "reads_memprobe.fa")
+    n_sub = 300_000
+    with open(rfa, "rb") as f, open(sub, "wb") as g:
+        for _ in range(2 * n_sub):
+            g.write(f.readline())
+    hits = os.path.join(CACHE, "hits_memprobe.tsv")
+    hbm_log = os.path.join(CACHE, "hbm_memprobe.json")
+    if os.path.exists(hbm_log):
+        os.remove(hbm_log)
+    dt, rss = run_cli(
+        ["aln", "-d", idx, "-i", sub, "-o", hits, "--pallas",
+         "--batch", str(args.batch)], hbm_log=hbm_log)
+    hbm = {}
+    if os.path.exists(hbm_log):
+        with open(hbm_log) as f:
+            hbm = json.load(f)
+    out_path = os.path.join(REPO, args.output)
+    art = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            art = json.load(f)
+    art["peak_rss_gb"] = round(rss / 1e9, 2) if rss else None
+    art["device_hbm_gb"] = {
+        k: round(v / 1e9, 3) for k, v in hbm.items() if k != "error"
+    } or None
+    art["memory_provenance"] = (
+        f"{n_sub}-read probe at identical batch/config (residency is "
+        "batch-shape-bound); RSS via getrusage(RUSAGE_CHILDREN) "
+        "high-water mark, device bytes via per-batch live-array sum "
+        "(axon exposes no allocator stats; excludes XLA temp workspace)"
+    )
+    with open(out_path, "w") as f:
+        json.dump(art, f, indent=1)
+    print(json.dumps({k: art[k] for k in
+                      ("peak_rss_gb", "device_hbm_gb")}), flush=True)
+    print(f"updated {args.output}", flush=True)
 
 
 def main():
@@ -68,8 +121,11 @@ def main():
     ap.add_argument("--reads", type=int, default=10_000_000)
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--kill-frac", type=float, default=0.4)
+    ap.add_argument("--mem-probe-only", action="store_true")
     ap.add_argument("-o", "--output", default="SCALE4.json")
     args = ap.parse_args()
+    if args.mem_probe_only:
+        return mem_probe(args)
     os.makedirs(CACHE, exist_ok=True)
     rng = np.random.default_rng(11)
     art = {"reads": args.reads, "seqs": args.seqs, "shards": 2, "k": 5,

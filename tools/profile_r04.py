@@ -128,26 +128,45 @@ def main():
     pg, pb, pv = propose_shard_jit(
         qflat, d["bucket_starts"], d["tab_main"], d["tab_aux"],
         d["subject_ids"], **ps)
-    t_sel = timed(lambda: _select_jit(pg, pb, pv, C))
+    uk = als.get("use_pallas", False)
+    t_sel = timed(lambda: _select_jit(pg, pb, pv, C, uk))
     out["stages_ms"]["select"] = round(t_sel * 1e3, 2)
     out.setdefault("floor_bounded", []).append("select")
 
-    sel_g, sel_b = _select_jit(pg, pb, pv, C)
+    sel_g, sel_b = _select_jit(pg, pb, pv, C, uk)
     t_align = timed(lambda: align_shard_jit(
         qflat, d["buffer"], d["starts"], d["subject_ids"], d["lengths"],
         eng.matrix, sel_g, sel_b, **als))
     out["stages_ms"]["align"] = round(t_align * 1e3, 2)
     print(f"# align {t_align*1e3:.1f} ms", file=sys.stderr, flush=True)
 
+    # align sub-stages: the one-row overlap-view window fetch at the full
+    # candidate count, on its own program
+    from ghostm_tpu.engine import fetch_windows
+
+    Cc = sel_g.shape[1]
+    Ntot = Qf * Cc
+    g0_syn = jnp.asarray(
+        (np.random.default_rng(3).integers(
+            0, max(int(index.total_residues) - 4096, 1), Ntot)
+         ).astype(np.int32))
+    fw = jax.jit(functools.partial(
+        fetch_windows, lead=eng.lead, wlen=Lq + cfg.band_width))
+    t_fw = timed(lambda: fw(d["buffer"], g0_syn))
+    out["stages_ms"]["align.fetch_windows"] = round(t_fw * 1e3, 2)
+    print(f"# align fetch_windows {t_fw*1e3:.1f} ms",
+          file=sys.stderr, flush=True)
+
     aligned = align_shard_jit(
         qflat, d["buffer"], d["starts"], d["subject_ids"], d["lengths"],
         eng.matrix, sel_g, sel_b, **als)
     stacked = [jnp.stack([x]) for x in aligned]
-    t_merge = timed(lambda: _merge_rank_jit(stacked, sel_g, R, cfg.max_hits))
+    t_merge = timed(
+        lambda: _merge_rank_jit(stacked, sel_g, R, cfg.max_hits, uk))
     out["stages_ms"]["merge_rank"] = round(t_merge * 1e3, 2)
     out["floor_bounded"].append("merge_rank")
 
-    packed = _merge_rank_jit(stacked, sel_g, R, cfg.max_hits)
+    packed = _merge_rank_jit(stacked, sel_g, R, cfg.max_hits, uk)
     refine_args = []
     for dd in eng.shard_dev:
         refine_args += [dd["buffer"], dd["starts"], dd["lengths"]]
