@@ -106,6 +106,50 @@ def seed_key_tables(index: StackedIndex, shard: int, nbins: int):
     return rowbase, localoff
 
 
+def _packed_value_bound(st, mult: int, Lq: int):
+    """Max packed value (row * mult + localoff + Lq) any seed position in
+    this store can take, from per-subject bounds — avoids materialising
+    the multi-M int64 vals array an exact check would need. Conservative:
+    a borderline index routes to the next (bit-identical, slower) table
+    layout."""
+    S = st.num_subjects
+    starts64 = np.asarray(st.starts, np.int64)
+    strides = (
+        np.diff(starts64, append=np.int64(len(st.buffer))) if S
+        else starts64
+    )
+    if not S:
+        return 0
+    return int(
+        (np.arange(S, dtype=np.int64) * mult + strides - 1 + Lq).max()
+    )
+
+
+def _packed_valmap(st, mult: int, Lq: int) -> np.ndarray:
+    """Per-buffer-position packed value row*mult + (pos - start[row]) + Lq
+    as ONE int32 array: the value increases by exactly 1 per position
+    within a subject, so the map is arange(L) + repeat(per-subject base)
+    (r03: replaced a 98M-query searchsorted + int64 temp chain costing
+    ~60 s/shard of init at k=5 scale). The leading sentinel pad
+    [0, starts[0]) folds into subject 0's span — no seed positions fall
+    there (k-mers over sentinels are masked)."""
+    S = st.num_subjects
+    starts64 = np.asarray(st.starts, np.int64)
+    base = (
+        np.arange(S, dtype=np.int64) * mult - starts64 + Lq
+    ).astype(np.int32) if S else np.full(1, Lq, np.int32)
+    rep = (
+        np.diff(starts64, append=np.int64(len(st.buffer)))
+        if S else np.asarray([len(st.buffer)])
+    )
+    if S:
+        rep = rep.copy()
+        rep[0] += starts64[0]
+    valmap = np.arange(len(st.buffer), dtype=np.int32)
+    valmap += np.repeat(base, rep)
+    return valmap
+
+
 def aligned_key_tables(
     index: StackedIndex, shard: int, nbins: int, half: int, Lq: int,
     width: int,
@@ -142,49 +186,16 @@ def aligned_key_tables(
     mult = nbins * half
     cbits = int(width).bit_length()           # count in [0, width]
     r_max = (total // width) + nrows_need
-    starts64 = np.asarray(st.starts, np.int64)
-    strides = (
-        np.diff(starts64, append=np.int64(len(st.buffer))) if S
-        else starts64
-    )
-    # int32-fit check from per-subject BOUNDS (i * mult + stride_i - 1 + Lq
-    # >= any position's packed value in subject i) — avoids materialising
-    # the 48M-entry int64 vals array the old exact check needed; at worst
-    # it conservatively routes a borderline index to the (bit-identical,
-    # slower) unaligned fallback tables.
-    bound = int(
-        (np.arange(S, dtype=np.int64) * mult + strides - 1 + Lq).max()
-    ) if S else 0
     fits = (
         len(st.buffer) < (1 << 31)
-        and bound < (1 << 31)
+        and _packed_value_bound(st, mult, Lq) < (1 << 31)
         and ((r_max << cbits) | width) < (1 << 31)
     )
     if not fits:
         return None, None, False
-    # Packed value by buffer position is row*mult + (pos - start[row]) +
-    # Lq, which within a subject increases by exactly 1 per position — so
-    # the whole per-position map is arange(L) + repeat(per-subject base):
-    # ONE repeat + ONE gather, all int32 (r03: replaces a 98M-query
-    # searchsorted + int64 temp chain that cost ~60 s/shard of
-    # SearchEngine init at k=5 scale).
     tab = np.zeros(total + nrows_need * width, np.int32)
     if P:
-        base = (
-            np.arange(S, dtype=np.int64) * mult - starts64 + Lq
-        ).astype(np.int32) if S else np.full(1, Lq, np.int32)
-        # subject i covers [starts[i], starts[i+1]); fold the leading
-        # sentinel pad [0, starts[0]) into subject 0's span (no seed
-        # positions fall there — k-mers over sentinels are masked)
-        rep = (
-            np.diff(starts64, append=np.int64(len(st.buffer)))
-            if S else np.asarray([len(st.buffer)])
-        )
-        if S:
-            rep[0] += starts64[0]
-        valmap = np.arange(len(st.buffer), dtype=np.int32)
-        valmap += np.repeat(base, rep)
-        vals = valmap[pos]
+        vals = _packed_valmap(st, mult, Lq)[pos]
         dshift = (astart[:-1] - bs[:-1]).astype(np.int32)
         dst = np.arange(P, dtype=np.int32) + np.repeat(dshift, counts)
         tab[dst] = vals
@@ -200,7 +211,7 @@ def aligned_key_tables(
 
 def direct_key_tables(
     index: StackedIndex, shard: int, nbins: int, half: int, Lq: int,
-    width: int,
+    width: int, cap_bytes: int = DIRECT_TABLE_CAP,
 ):
     """DIRECT-indexed sentinel table (r04, from PROFILE_r04.json): row k of
     the (nb + 1, width) tab holds bucket k's packed values
@@ -218,7 +229,7 @@ def direct_key_tables(
 
     Returns (tab2d int32 (nb+1, width), None, fits). fits=False when a
     packed value would reach DIRECT_SENT or the table would exceed
-    DIRECT_TABLE_CAP — caller falls back to the aligned layout."""
+    `cap_bytes` — caller falls back to the aligned layout."""
     sd = index.shards[shard].seeds
     st = index.shards[shard].store
     bs = np.asarray(sd.bucket_starts, np.int64)
@@ -226,35 +237,16 @@ def direct_key_tables(
     P = len(pos)
     counts = np.diff(bs)                      # (nb + 1,) incl. overflow
     nrows = len(counts)
-    S = st.num_subjects
     mult = nbins * half
-    if nrows * width * 4 > DIRECT_TABLE_CAP:
+    if nrows * width * 4 > cap_bytes:
         return None, None, False
-    starts64 = np.asarray(st.starts, np.int64)
-    strides = (
-        np.diff(starts64, append=np.int64(len(st.buffer))) if S
-        else starts64
-    )
-    bound = int(
-        (np.arange(S, dtype=np.int64) * mult + strides - 1 + Lq).max()
-    ) if S else 0
-    if len(st.buffer) >= (1 << 31) or bound >= DIRECT_SENT \
+    if len(st.buffer) >= (1 << 31) \
+            or _packed_value_bound(st, mult, Lq) >= DIRECT_SENT \
             or int(counts.max(initial=0)) > width:
         return None, None, False
     tab = np.full(nrows * width, DIRECT_SENT, np.int32)
     if P:
-        base = (
-            np.arange(S, dtype=np.int64) * mult - starts64 + Lq
-        ).astype(np.int32) if S else np.full(1, Lq, np.int32)
-        rep = (
-            np.diff(starts64, append=np.int64(len(st.buffer)))
-            if S else np.asarray([len(st.buffer)])
-        )
-        if S:
-            rep[0] += starts64[0]
-        valmap = np.arange(len(st.buffer), dtype=np.int32)
-        valmap += np.repeat(base, rep)
-        vals = valmap[pos]
+        vals = _packed_valmap(st, mult, Lq)[pos]
         dshift = (np.arange(nrows, dtype=np.int64) * width - bs[:-1]).astype(
             np.int64
         )
@@ -265,7 +257,7 @@ def direct_key_tables(
 
 def build_key_tables(
     index: StackedIndex, nbins: int, half: int, Lq: int, width: int,
-    expand: int,
+    expand: int, colocated_shards: bool = True,
 ):
     """Per-shard (tab_main, tab_aux) for ALL shards + the layout mode.
 
@@ -274,15 +266,22 @@ def build_key_tables(
     presorted runs always) -> "aligned" (bucket-aligned rows + aux) ->
     "csr" (position-parallel fallback). Returns (maps, mode, width_used);
     for "direct" width_used is the pow2 >= expand row width and tab_aux
-    is a 1-element dummy (the argument plumbing stays uniform)."""
+    is a 1-element dummy (the argument plumbing stays uniform).
+
+    colocated_shards: the loop path puts EVERY shard's table on the one
+    device, so the direct-table budget is split n_shards ways; on a mesh
+    each shard lives on its own device and gets the full cap."""
     n_shards = index.buffers.shape[0]
     dw = 8
     while dw < expand:
         dw *= 2
+    cap = DIRECT_TABLE_CAP // (n_shards if colocated_shards else 1)
     maps = []
     ok_all = True
     for i in range(n_shards):
-        tab, _, ok = direct_key_tables(index, i, nbins, half, Lq, dw)
+        tab, _, ok = direct_key_tables(
+            index, i, nbins, half, Lq, dw, cap_bytes=cap
+        )
         ok_all &= ok
         maps.append((tab, np.zeros(1, np.int32)))
         if not ok_all:
@@ -336,7 +335,7 @@ def propose_shard(
     """(Q, ncand) proposals (gsid, lbin, votes) for this shard.
 
     Chunked over query frames so the expanded hit tensor (Q, Lq, expand)
-    stays bounded (~64 MB) even with the large per-seed expansions that
+    stays bounded (~128 MB) even with the large per-seed expansions that
     realistic DB scales need (seed_len 4-5, caps 64-256).
 
     Fastest path (direct_tables, r04): tab_main is the DIRECT-indexed
@@ -628,15 +627,12 @@ def align_shard(
     # Fused-scoring wavefront kernel (kernels/sw_fused.py): the flagship
     # align path — no HBM score tensor, scores generated in-kernel from the
     # raw codes. Falls back to the score-fed kernels when its packed
-    # best-tracking cannot cover Lq.
-    _h = band // 2
-    _A = Lq + _h - 1
-    _at = -(-(_A if _A <= 256 else 128) // sw_fused.UNROLL) * sw_fused.UNROLL
-    _sh = int(-(-_A // _at) * _at + 2 * _h).bit_length()
+    # best-tracking cannot cover Lq. MUST stay the same predicate the
+    # engine's chunk sizing uses (sw_fused.fused_ok) — a divergence would
+    # size score-fed chunks for the fused kernel's tiny footprint.
     use_fused = (
         (use_pallas or fused_interpret) and fused_words is not None
-        and band % 2 == 0 and band >= 16
-        and 15 * Lq < (1 << (31 - _sh))   # kernel's packed-best guard
+        and sw_fused.fused_ok(Lq, band)
     )
     use_wave = (
         use_pallas and not use_fused
@@ -719,11 +715,11 @@ def rank_reads(score, gsid, frame, qend, s_end, bend, g0, srow, shard, topk,
     use_kernel (TPU): the 9-operand variadic lax.sort lowers to ~28 ms
     on TPU for a (4096, 48) problem (PROFILE_r04.json) — the Pallas
     lexicographic bitonic (kernels/sort.lex_rank_rows) does the same
-    compare-exchange work in well under a millisecond. It additionally
-    breaks full-5-key ties by original position (stable semantics),
-    which lax.sort leaves unspecified — same output whenever the 5-key
-    tie-break is decisive, which the shard-invariance contract already
-    requires."""
+    compare-exchange work in well under a millisecond. Both paths break
+    full-5-key ties by original position (lax.sort defaults
+    is_stable=True; the kernel carries the original index as its final
+    compare key), so the outputs are bit-identical in ALL cases,
+    including full-key ties with differing payloads."""
     g = jnp.where(score > 0, gsid, BIG)
     fields = (-score, g, frame, qend, s_end, bend, g0, srow, shard)
     if use_kernel:
@@ -840,12 +836,12 @@ class SearchEngine:
         # steps, each with fixed prep cost). Score-fed paths keep the
         # 8192 cap bounding the in-flight int32 score tensor (~128 MB) so
         # long-read configs (large Lq * band) do not blow HBM.
-        _fw_probe, _ = sw_fused.build_packed_matrix(
+        fused_words, code_limit = sw_fused.build_packed_matrix(
             padded_matrix(cfg.matrix, hard_stop=True)
         )
         fused_engaged = (
             (use_pallas or fused_interpret)
-            and _fw_probe is not None   # matrix fits the nibble packing
+            and fused_words is not None  # matrix fits the nibble packing
             and sw_fused.fused_ok(cfg.query_frame_len, cfg.band_width)
         )
         if fused_engaged:
@@ -872,9 +868,6 @@ class SearchEngine:
             use_sort_kernel=use_pallas,
         )
         self._nbins = self._propose_static["nbins"]
-        fused_words, code_limit = sw_fused.build_packed_matrix(
-            padded_matrix(cfg.matrix, hard_stop=True)
-        )
         self._align_static = dict(
             band=cfg.band_width,
             gap_open=cfg.gap_open,
@@ -907,7 +900,8 @@ class SearchEngine:
             width //= 2
         self._table_width = width
         maps, mode, width = build_key_tables(
-            index, self._nbins, half, Lqf, width, self.expand
+            index, self._nbins, half, Lqf, width, self.expand,
+            colocated_shards=mesh is None,
         )
         # presorted-run stage skip needs runs that exactly tile power-of-two
         # blocks of the key row (see propose_shard docstring). Direct

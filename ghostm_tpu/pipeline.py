@@ -153,6 +153,7 @@ def run_search(
                 )
             with open(cursor_path, "w") as f:
                 json.dump({"completed_batches": bi + 1}, f)
+            _hbm_sample()
             wall = time.time() - t0
             m = BatchMetrics(nreads, wall, 0, rows)
             metrics.add(m)
@@ -185,20 +186,22 @@ def run_search(
         )
         total_rows += rows
 
+    # r04: the flush (device->host fetch + TSV format + write) runs on a
+    # background thread. The tunnel charges a fixed ~30 ms per fetch and
+    # the fetch blocks the calling thread — on the MAIN thread that cost
+    # serializes with the next batch's translate+dispatch even though
+    # dispatch is async (measured: e2e 234 ms/batch vs 190 ms device
+    # step). The GIL drops during the blocking fetch, so one worker
+    # thread restores the overlap; a single worker keeps part files and
+    # cursor updates strictly ordered. Bit-identical output. Shut down in
+    # `finally` so an in-flight flush is joined (and its error surfaced)
+    # even when the main loop raises first.
+    flusher = None if sync_pipeline else ThreadPoolExecutor(1)
+    fut = None
     try:
         out_f = None if checkpointing else open(output, "w")
         if out_f:
             out_f.write(M8_HEADER + "\n")
-        # r04: the flush (device->host fetch + TSV format + write) runs on
-        # a background thread. The tunnel charges a fixed ~30 ms per fetch
-        # and the fetch blocks the calling thread — on the MAIN thread that
-        # cost serializes with the next batch's translate+dispatch even
-        # though dispatch is async (measured: e2e 234 ms/batch vs 190 ms
-        # device step). The GIL drops during the blocking fetch, so one
-        # worker thread restores the overlap; a single worker keeps part
-        # files and cursor updates strictly ordered. Bit-identical output.
-        flusher = None if sync_pipeline else ThreadPoolExecutor(1)
-        fut = None
         for bi, (names, dna, lens) in enumerate(batches):
             if checkpointing and bi < done:
                 continue
@@ -229,11 +232,10 @@ def run_search(
                 pending = None
         if fut is not None:
             fut.result()
+            fut = None
         if pending is not None:
             _flush(pending)
             pending = None
-        if flusher is not None:
-            flusher.shutdown(wait=True)
         if checkpointing:
             if multiproc:
                 from jax.experimental import multihost_utils
@@ -253,6 +255,12 @@ def run_search(
         elif out_f:
             out_f.close()
     finally:
+        if flusher is not None:
+            try:
+                if fut is not None:
+                    fut.result()
+            finally:
+                flusher.shutdown(wait=True)
         if profile_cm:
             profile_cm.__exit__(None, None, None)
         if hbm_log and hbm_peak:

@@ -61,9 +61,11 @@ def main():
     buffers = np.stack(
         [pad_buffer(index.buffers[i], cfg) for i in range(2)]
     )
+    # colocated_shards=True to MATCH ref_eng's loop-path layout choice —
+    # the distributed step reuses ref_eng's propose statics
     maps, mode, _w = build_key_tables(
         index, ref_eng._nbins, cfg.band_width // 2, cfg.query_frame_len,
-        ref_eng._table_width, ref_eng.expand,
+        ref_eng._table_width, ref_eng.expand, colocated_shards=True,
     )
     assert (mode == "direct") == ref_eng._propose_static["direct_tables"]
     assert (mode == "aligned") == ref_eng._propose_static["fuse_tables"]

@@ -79,15 +79,15 @@ def test_sort_vote_rank_kernel_matches_xla(rng, q, m, run, minv):
 ])
 def test_lex_rank_rows_matches_lax_sort(rng, q, m, nk, nops, topk):
     """The multi-operand lexicographic bitonic must match variadic
-    lax.sort on its first nk keys (payload association checked through a
-    row-unique key so stability cannot differ)."""
+    lax.sort on its first nk keys. Both are stable (lax.sort defaults
+    is_stable=True; the kernel carries the original index as its final
+    compare key), so outputs must agree even on full-key ties; the
+    row-unique nk-th key additionally pins payload association."""
     import jax.numpy as jnp2
     from jax import lax
 
     from ghostm_tpu.kernels.sort import lex_rank_rows
 
-    # make the nk-th key row-unique so the full key tuple is total and
-    # lax.sort's unspecified tie handling cannot diverge from ours
     ops = [rng.integers(0, 6, (q, m)).astype(np.int32) for _ in range(nk - 1)]
     ops.append(
         np.stack([rng.permutation(m) for _ in range(q)]).astype(np.int32)
@@ -100,6 +100,25 @@ def test_lex_rank_rows_matches_lax_sort(rng, q, m, nk, nops, topk):
     want = lax.sort(tuple(jnp2.asarray(o) for o in ops), num_keys=nk)
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w)[:, :topk])
+
+
+def test_lex_rank_rows_stable_on_full_key_ties(rng):
+    """Full-key ties with DIFFERING payloads: both paths are stable, so
+    payload association must match exactly."""
+    from jax import lax
+
+    from ghostm_tpu.kernels.sort import lex_rank_rows
+
+    q, m, nk = 32, 64, 3
+    ops = [rng.integers(0, 3, (q, m)).astype(np.int32) for _ in range(nk)]
+    ops += [rng.integers(0, 1000, (q, m)).astype(np.int32)
+            for _ in range(4)]
+    got = lex_rank_rows(
+        tuple(jnp.asarray(o) for o in ops), nk, m, interpret=True
+    )
+    want = lax.sort(tuple(jnp.asarray(o) for o in ops), num_keys=nk)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
 
 def test_vote_and_rank_matches_topk_reference(rng):
