@@ -297,28 +297,37 @@ def bench_end_to_end():
     first = np.asarray(eng.search_refine_async(qc))   # warmup (compile)
     # Background-thread fetch, same as pipeline.run_search (r04): the
     # tunnel's fixed per-fetch cost blocks the calling thread and would
-    # serialize with the next batch's translate+dispatch.
+    # serialize with the next batch's translate+dispatch. The shared
+    # tunnel's remote side has large weather (same binary measured 24.3k
+    # and 13.2k reads/s an hour apart with an idle local host), so run
+    # THREE independent pipelined passes and report the best, with the
+    # spread recorded — min-of-N is the engine's cost, the rest is
+    # tunnel contention.
     from concurrent.futures import ThreadPoolExecutor
 
-    t = time.time()
     reps = 6
-    pending = None
-    fetched = []
-    with ThreadPoolExecutor(1) as pool:
-        fut = None
-        for _ in range(reps):
-            qc = eng.translate(dna, lens)
-            pay = eng.search_refine_async(qc)
-            if pending is not None:
-                if fut is not None:
-                    fetched.append(fut.result())
-                fut = pool.submit(np.asarray, pending)
-            pending = pay
-        if fut is not None:
-            fetched.append(fut.result())
-        fetched.append(np.asarray(pending))
-    dt = (time.time() - t) / reps
-    return R / dt, int(fetched[-1][0].max())
+    rates = []
+    last = first
+    for _ in range(3):
+        t = time.time()
+        pending = None
+        with ThreadPoolExecutor(1) as pool:
+            fut = None
+            for _ in range(reps):
+                qc = eng.translate(dna, lens)
+                pay = eng.search_refine_async(qc)
+                if pending is not None:
+                    if fut is not None:
+                        fut.result()
+                    fut = pool.submit(np.asarray, pending)
+                pending = pay
+            if fut is not None:
+                fut.result()
+            last = np.asarray(pending)
+        rates.append(R * reps / (time.time() - t))
+    rates.sort()
+    spread = (rates[-1] - rates[0]) / rates[len(rates) // 2]
+    return rates[-1], spread, int(last[0].max())
 
 
 def main():
@@ -335,9 +344,9 @@ def main():
     fused_gcups, fspread = bench_fused_step()
     print(f"# fused step: {fused_gcups:.1f} GCUPS +-{fspread*100:.0f}% "
           f"({time.time()-t0:.0f}s)", file=sys.stderr, flush=True)
-    reads_per_s, max_score = bench_end_to_end()
-    print(f"# e2e: {reads_per_s:.0f} reads/s ({time.time()-t0:.0f}s)",
-          file=sys.stderr, flush=True)
+    reads_per_s, e2e_spread, max_score = bench_end_to_end()
+    print(f"# e2e: {reads_per_s:.0f} reads/s +-{e2e_spread*100:.0f}% "
+          f"({time.time()-t0:.0f}s)", file=sys.stderr, flush=True)
     out = {
         "metric": "sw_gcups",
         "value": round(fused_gcups, 2),
@@ -359,6 +368,9 @@ def main():
         "fused_step_gcups": round(fused_gcups, 2),
         "fused_step_spread": round(fspread, 3),
         "reads_per_s": round(reads_per_s, 1),
+        "reads_per_s_spread": round(e2e_spread, 3),
+        "e2e_protocol": "best of 3 independent 6-batch pipelined passes "
+                        "(tunnel-weather robust; spread recorded)",
         "e2e_db": "570k seqs / ~200M residues, k=5 (config-2-true)",
         "bench_wall_s": round(time.time() - t0, 1),
     }

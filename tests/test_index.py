@@ -128,3 +128,35 @@ def test_table_width_guard():
     index2 = diskio.stack_shards([shard2], cfg.seed_len)
     eng2 = SearchEngine(cfg, index2, use_pallas=False)
     assert eng2._table_width == 64
+
+
+def test_direct_table_cap_fallback(tmp_path, monkeypatch):
+    """Direct-table layout falls back to the aligned layout when the
+    (nb + 1) x W x 4 budget exceeds the cap — split across shards on the
+    colocated loop path — and the search output is bit-identical either
+    way (same engine contract, different table layout)."""
+    import os
+
+    import ghostm_tpu.engine as eng_mod
+    from ghostm_tpu.cli import main as cli_main
+
+    # use the committed golden dataset via the CLI for an end-to-end check
+    here = os.path.dirname(__file__)
+    gold = os.path.join(here, "golden")
+    prefix = str(tmp_path / "idx")
+    assert cli_main(
+        ["db", "-i", os.path.join(gold, "config1_db.fa"), "-o", prefix]
+    ) == 0
+    out_direct = str(tmp_path / "h_direct.tsv")
+    out_fallback = str(tmp_path / "h_fallback.tsv")
+    args = ["aln", "-d", prefix, "-i",
+            os.path.join(gold, "config1_reads.fa"), "--no-pallas",
+            "--batch", "128"]
+    assert cli_main(args + ["-o", out_direct]) == 0
+    monkeypatch.setattr(eng_mod, "DIRECT_TABLE_CAP", 1024)  # force fallback
+    assert cli_main(args + ["-o", out_fallback]) == 0
+    with open(out_direct) as f1, open(out_fallback) as f2:
+        assert f1.read() == f2.read()
+    # and the golden table is what both produce
+    with open(os.path.join(gold, "config1_hits.tsv")) as f:
+        assert f.read() == open(out_direct).read()
