@@ -276,7 +276,11 @@ def bench_end_to_end():
     from tools.simulate import reads_from_proteins
 
     rng = np.random.default_rng(1)
-    R = 4096
+    # batch 8192: the r04 sweep (4096 / 8192 / 16384 -> 22.5k+-54% /
+    # 25.1k+-2% / 24.1k+-23% reads/s) — the bigger batch amortizes the
+    # per-batch fixed cost (GATHER_PROBE.json analysis) and is far less
+    # exposed to tunnel weather; 16k regresses (HBM pressure).
+    R = int(os.environ.get("GHOSTM_TPU_BENCH_BATCH", 8192))
     cfg = Config(query_batch=R, seed_len=5, hits_per_seed=128)
     index, st = _build_config2_index(cfg)
     eng = SearchEngine(cfg, index)
@@ -369,6 +373,7 @@ def main():
         "fused_step_spread": round(fspread, 3),
         "reads_per_s": round(reads_per_s, 1),
         "reads_per_s_spread": round(e2e_spread, 3),
+        "e2e_batch": int(os.environ.get("GHOSTM_TPU_BENCH_BATCH", 8192)),
         "e2e_protocol": "best of 3 independent 6-batch pipelined passes "
                         "(tunnel-weather robust; spread recorded)",
         "e2e_db": "570k seqs / ~200M residues, k=5 (config-2-true)",
