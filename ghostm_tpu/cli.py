@@ -103,6 +103,9 @@ def cmd_aln(args) -> int:
         max_hits=args.max_hits,
         evalue_cutoff=args.evalue,
         query_batch=args.batch,
+        matrix=args.matrix,
+        gap_open=args.gap_open,
+        gap_extend=args.gap_extend,
         profile_dir=args.profile,
         checkpoint_batches=args.checkpoint_batches,
         chain_gamma=args.chain_gamma,
@@ -153,6 +156,12 @@ def main(argv=None) -> int:
     pa.add_argument("-n", "--candidates", type=int, default=None)
     pa.add_argument("--max-hits", type=int, default=None)
     pa.add_argument("-e", "--evalue", type=float, default=None)
+    pa.add_argument("--matrix", type=str, default=None,
+                    help="substitution matrix (BLOSUM45/50/62/80/90, "
+                         "PAM30/70/250); pair with gap penalties that have "
+                         "published Karlin-Altschul fits")
+    pa.add_argument("--gap-open", type=int, default=None)
+    pa.add_argument("--gap-extend", type=int, default=None)
     pa.add_argument("--batch", type=int, default=None)
     pa.add_argument("--max-read-len", type=int, default=120)
     pa.add_argument("--chain-gamma", type=int, default=None,

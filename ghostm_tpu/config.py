@@ -51,8 +51,7 @@ class Config:
     band_width: int = 32         # banded SW band (diagonal span), multiple of 8
     gap_open: int = 11           # affine gap open penalty (positive)
     gap_extend: int = 1          # affine gap extend penalty (positive)
-    matrix: str = "BLOSUM62"
-    x_drop: Optional[int] = None  # reserved; reference uses plain banded SW
+    matrix: str = "BLOSUM62"     # any key of ops.scoring.MATRICES
 
     # --- query handling ---
     query_frame_len: int = 40    # max residues per translated frame (pad/truncate);

@@ -50,9 +50,12 @@ SORT_NUM_KEYS = 5  # (-score, gsid, frame, qend, s_end) — the tie-break spec
 # build) and be comparable BEFORE the diagonal division (a post-division
 # sentinel can't reach BIG in int32: BIG * half overflows).
 DIRECT_SENT = 0x7FF00000
-# Per-shard cap for the direct table (it spends (nb+1) * W * 4 bytes,
-# nb = 20^k buckets, W = pow2 >= max bucket count): k=5/W=128 is 1.64 GB
-# of the 16 GB v5e HBM. Overridable for small-HBM or huge-k setups.
+# TOTAL device budget for the direct tables (each spends (nb+1) * W * 4
+# bytes, nb = 20^k buckets, W = pow2 >= max bucket count): k=5/W=128 is
+# 1.64 GB of the 16 GB v5e HBM. On the colocated loop path every shard's
+# table lives on the ONE device, so build_key_tables splits this budget
+# n_shards ways; on a mesh each shard has its own device and gets the
+# full cap. Overridable for small-HBM or huge-k setups.
 DIRECT_TABLE_CAP = int(
     os.environ.get("GHOSTM_TPU_DIRECT_TABLE_CAP", 3 << 30)
 )
@@ -461,7 +464,14 @@ def _overlap_rows(buf: jnp.ndarray) -> jnp.ndarray:
     PROFILE_r04.json: the fetch cost is row-COUNT bound (~106 ns/row
     through XLA gather regardless of row bytes), so halving the row count
     halves the align/refine fetch wall. Last row wraps to row 0 — only
-    reachable for clamped (unowned, masked) windows."""
+    reachable for clamped (unowned, masked) windows.
+
+    HBM accounting (DESIGN.md "Device-memory budget"): this view is a
+    SECOND full copy of the shard buffer (2 B/residue vs the resident
+    1 B/residue), live while align/refine executes — for multi-GB k=5
+    colocated multi-shard indexes that transient doubles buffer
+    residency and is part of the headroom the sync-pipeline fallback
+    (GHOSTM_TPU_SYNC_PIPELINE=1) exists to protect."""
     b256 = buf.reshape(-1, 256)
     nxt = jnp.concatenate([b256[1:], b256[:1]], axis=0)
     return jnp.concatenate([b256, nxt], axis=1)

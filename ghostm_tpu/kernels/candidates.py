@@ -175,9 +175,14 @@ def vote_and_rank(
     # Falls back to sort + vmapped _per_query for the smooth / chaining
     # variants and when the packed in-kernel top-k cannot cover the row.
     if use_sort_kernel and not smooth and not chain_gamma:
-        from ghostm_tpu.kernels.sort import sort_vote_rank_rows
+        from ghostm_tpu.kernels.sort import _LANES, sort_vote_rank_rows
         L = max(1 << max(M - 1, 1).bit_length(), 128)
-        if 2 * L.bit_length() <= 31:
+        # ncand must fit the kernel's fixed (rows, _LANES) output lanes —
+        # beyond that the fused path would silently truncate each shard's
+        # proposals and break the "any global top-N candidate is in its own
+        # shard's top-N" contract; the sort_rows + _per_query fallback
+        # below handles any ncand.
+        if 2 * L.bit_length() <= 31 and ncand <= _LANES:
             top_keys, votes = sort_vote_rank_rows(
                 keys, ncand, max(min_votes, 1),
                 presorted_run=presorted_run,

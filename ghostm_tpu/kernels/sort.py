@@ -183,8 +183,12 @@ def lex_rank_rows(ops, num_keys: int, topk: int, interpret: bool = False):
     lexicographically by the first num_keys operands (original position
     breaks full-key ties, i.e. stable-sort semantics) and return the
     first topk columns of every operand. Pad columns hold PAD in every
-    operand, so they sort last."""
+    operand, so they sort last. topk clamps to M — the lax.sort path a
+    caller may substitute slices [:, :topk] of M-wide arrays, which
+    clamps implicitly; without this the kernel path would return extra
+    PAD columns for topk > M and the two paths would diverge in shape."""
     Q, M = ops[0].shape
+    topk = min(topk, M)
     nops = len(ops)
     L = 1 << max(M - 1, 1).bit_length()
     if L < _LANES:
@@ -255,6 +259,10 @@ def sort_vote_rank_rows(
     run, L, rows, Qp = _plan(Q, M, presorted_run)
     if 2 * L.bit_length() > 31:
         raise ValueError(f"row length {L} overflows packed in-kernel top-k")
+    if ncand > _LANES:
+        # the kernel writes top candidates into fixed (rows, _LANES) lanes;
+        # more would silently truncate (callers fall back to _per_query)
+        raise ValueError(f"ncand={ncand} exceeds kernel lane width {_LANES}")
     xp = jnp.full((Qp, L), PAD, jnp.int32)
     xp = jax.lax.dynamic_update_slice(xp, x.astype(jnp.int32), (0, 0))
     nstage = L.bit_length() - 1

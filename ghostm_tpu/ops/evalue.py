@@ -24,11 +24,11 @@ import numpy as np
 # Values: NCBI BLAST blast_stat.c published gapped tables
 # (BLOSUM{45,50,62,80,90}_VALUES, PAM{30,70,250}_VALUES). The reference
 # mount is empty (SURVEY.md §0); these are the standard published
-# constants, pinned by tests/test_ops.py. Note the engine's fused Pallas
-# kernel packs scores as 4-bit nibbles (score in [-4, 11]) and the
-# in-repo matrix set currently ships BLOSUM62 only — the extra rows here
-# unblock reference-mirroring E-value runs (VERDICT r03 next #9), not
-# full search runs with those matrices.
+# constants, pinned by tests/test_ops.py. All eight matrices ship in
+# ops/scoring.MATRICES; the engine's fused Pallas kernel packs scores as
+# 4-bit nibbles (score in [-4, 11], BLOSUM62 only) and routes the other
+# matrices through the score-fed kernels (tests/test_golden.py pins the
+# BLOSUM50 path end-to-end).
 GAPPED_PARAMS = {
     ("BLOSUM62", 11, 2): (0.297, 0.082, 0.27),
     ("BLOSUM62", 10, 2): (0.291, 0.075, 0.23),

@@ -28,6 +28,29 @@ def test_config1_golden(tmp_path):
     assert got == want, "golden config-1 hit table changed"
 
 
+def test_config1_blosum50_golden(tmp_path):
+    """Same config-1 dataset scored with BLOSUM50 / gap 13,2 — a matrix
+    whose [-5, 15] range overflows the fused kernel's nibble packing, so
+    this pins the score-fed fallback path end-to-end (engine routes it
+    automatically; tools/verify_golden.sh runs the same check --pallas on
+    the chip). 460 rows vs BLOSUM62's 550 — genuinely different table."""
+    prefix = str(tmp_path / "idx")
+    out = str(tmp_path / "hits.tsv")
+    assert cli_main(
+        ["db", "-i", os.path.join(GOLD, "config1_db.fa"), "-o", prefix]
+    ) == 0
+    assert cli_main(
+        ["aln", "-d", prefix, "-i", os.path.join(GOLD, "config1_reads.fa"),
+         "-o", out, "--no-pallas", "--batch", "128",
+         "--matrix", "BLOSUM50", "--gap-open", "13", "--gap-extend", "2"]
+    ) == 0
+    with open(out) as f:
+        got = f.read()
+    with open(os.path.join(GOLD, "config1_b50_hits.tsv")) as f:
+        want = f.read()
+    assert got == want, "golden BLOSUM50 hit table changed"
+
+
 def test_longread_golden(tmp_path):
     """Committed 5 kbp chained-long-read dataset (config 5): byte-stable
     hit table through the CPU path. The TPU --pallas leg diffs against the

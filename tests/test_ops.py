@@ -39,6 +39,67 @@ def test_blosum62_spot_values():
     assert (b == b.T).all()
 
 
+def test_all_matrices_properties():
+    """Every shipped matrix: 24x24 symmetric int, * row constant negative
+    except the *-* corner, X column within [-6, 0], and the documented
+    score ranges (which decide the fused-kernel nibble packing)."""
+    from ghostm_tpu.kernels.sw_fused import build_packed_matrix
+
+    aa = {c: i for i, c in enumerate(encode.AA_ALPHABET)}
+    ranges = {
+        "BLOSUM45": (-5, 15), "BLOSUM50": (-5, 15), "BLOSUM62": (-4, 11),
+        "BLOSUM80": (-6, 11), "BLOSUM90": (-6, 11), "PAM30": (-17, 13),
+        "PAM70": (-11, 13), "PAM250": (-8, 17),
+    }
+    assert set(scoring.MATRICES) == set(ranges)
+    for name, m in scoring.MATRICES.items():
+        assert m.shape == (24, 24) and (m == m.T).all(), name
+        assert int(m.min()) == ranges[name][0], name
+        assert int(m.max()) == ranges[name][1], name
+        star = m[aa["*"]]
+        assert (star[:-1] == star[0]).all() and star[0] < 0, name
+        assert star[-1] == 1, name
+        assert m.diagonal()[:22].min() >= 2, name  # real AAs + B/Z (not X/*)
+        # only BLOSUM62 fits the fused kernel's [-4, 11] nibble range;
+        # every other matrix must signal the score-fed fallback
+        words, _ = build_packed_matrix(scoring.padded_matrix(name))
+        assert (words is not None) == (name == "BLOSUM62"), name
+
+
+def test_matrix_pinned_values():
+    """Spot values transcribed from the NCBI data files, pinned per
+    matrix (SURVEY.md §2 'Substitution matrix'; mount empty, values are
+    the NCBI standard)."""
+    aa = {c: i for i, c in enumerate(encode.AA_ALPHABET)}
+
+    def chk(name, pairs):
+        m = scoring.MATRICES[name]
+        for a, b, want in pairs:
+            assert m[aa[a], aa[b]] == want, (name, a, b)
+
+    chk("BLOSUM45", [("W", "W", 15), ("A", "A", 5), ("C", "C", 12),
+                     ("R", "K", 3), ("N", "B", 4), ("D", "B", 5),
+                     ("I", "V", 3), ("W", "Y", 3)])
+    chk("BLOSUM50", [("W", "W", 15), ("A", "A", 5), ("C", "C", 13),
+                     ("P", "P", 10), ("H", "H", 10), ("D", "F", -5),
+                     ("F", "Y", 4), ("I", "V", 4), ("L", "M", 3)])
+    chk("BLOSUM80", [("W", "W", 11), ("A", "A", 5), ("C", "C", 9),
+                     ("H", "H", 8), ("D", "W", -6), ("E", "Q", 2),
+                     ("I", "V", 3), ("R", "K", 2)])
+    chk("BLOSUM90", [("W", "W", 11), ("A", "A", 5), ("C", "C", 9),
+                     ("Y", "Y", 8), ("E", "C", -6), ("D", "W", -6),
+                     ("I", "V", 3), ("H", "Y", 1)])
+    chk("PAM30", [("W", "W", 13), ("M", "M", 11), ("C", "C", 10),
+                  ("A", "W", -13), ("E", "W", -17), ("D", "B", 6),
+                  ("L", "M", 1), ("S", "A", 0)])
+    chk("PAM70", [("W", "W", 13), ("M", "M", 10), ("C", "C", 9),
+                  ("D", "D", 6), ("E", "W", -11), ("F", "Y", 4),
+                  ("R", "W", 0), ("N", "D", 3)])
+    chk("PAM250", [("W", "W", 17), ("C", "C", 12), ("Y", "Y", 10),
+                   ("F", "Y", 7), ("R", "W", 2), ("A", "A", 2),
+                   ("D", "E", 3), ("H", "Q", 3)])
+
+
 def test_padded_matrix_sentinels():
     m = scoring.padded_matrix(hard_stop=True)
     assert m.shape == (32, 32)

@@ -27,6 +27,11 @@ check TPU-2SHARD "$T/h2.tsv" tests/golden/config1_hits.tsv
 echo "--- CPU mesh 2x2"
 timeout 560 python -m ghostm_tpu aln -d "$T/idx2" -i tests/golden/config1_reads.fa -o "$T/h3.tsv" --no-pallas --batch 128 --data-axis 2 --db-axis 2 --cpu 8
 check CPU-MESH "$T/h3.tsv" tests/golden/config1_hits.tsv
+if [ -f tests/golden/config1_b50_hits.tsv ]; then
+  echo "--- TPU pallas BLOSUM50 (nibble-overflow matrix -> score-fed kernel)"
+  timeout 560 python -m ghostm_tpu aln -d "$T/idx" -i tests/golden/config1_reads.fa -o "$T/h5.tsv" --pallas --batch 128 --matrix BLOSUM50 --gap-open 13 --gap-extend 2
+  check TPU-B50 "$T/h5.tsv" tests/golden/config1_b50_hits.tsv
+fi
 if [ -f tests/golden/longread_hits.tsv ]; then
   echo "--- TPU pallas long-read (5kbp chained)"
   [ -f "$T/lidx.manifest.json" ] || python -m ghostm_tpu db -i tests/golden/longread_db.fa -o "$T/lidx" --config tests/golden/longread_cfg.json
