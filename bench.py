@@ -297,8 +297,7 @@ def bench_end_to_end():
         c = encode_dna(rd)
         dna[i, : len(c)] = c
         lens[i] = len(c)
-    qc = eng.translate(dna, lens)
-    first = np.asarray(eng.search_refine_async(qc))   # warmup (compile)
+    first = np.asarray(eng.search_refine_async_dna(dna, lens))  # warm/compile
     # Background-thread fetch, same as pipeline.run_search (r04): the
     # tunnel's fixed per-fetch cost blocks the calling thread and would
     # serialize with the next batch's translate+dispatch. The shared
@@ -318,8 +317,10 @@ def bench_end_to_end():
         with ThreadPoolExecutor(1) as pool:
             fut = None
             for _ in range(reps):
-                qc = eng.translate(dna, lens)
-                pay = eng.search_refine_async(qc)
+                # r05 operative path: raw dna in, translation on device
+                # inside the one compiled program (pipeline.run_search's
+                # fast path) — host loop is dispatch + threaded fetch only
+                pay = eng.search_refine_async_dna(dna, lens)
                 if pending is not None:
                     if fut is not None:
                         fut.result()

@@ -302,6 +302,48 @@ def build_key_tables(
     return maps, ("aligned" if fuse else "csr"), width
 
 
+def _merge_fits_direct(index: StackedIndex, cfg: Config) -> bool:
+    """Would the MERGED (1-shard) form of this index still take the direct
+    table layout? Cheap exact check (no merge performed): the packed-value
+    bound over merged global-id-ordered rows, the int32 buffer bound, and
+    the direct-table byte cap at the merged bucket widths. If any fails,
+    merging would land on a slower layout than the per-shard loop's own
+    direct tables — not worth it."""
+    half = cfg.band_width // 2
+    Lq = cfg.query_frame_len
+    nbins = int(index.lengths.max() + Lq) // half + 2
+    mult = nbins * half
+    lens = np.concatenate(
+        [np.asarray(s.store.lengths, np.int64) for s in index.shards]
+    )
+    ids = np.concatenate(
+        [np.asarray(s.store.subject_ids, np.int64) for s in index.shards]
+    )
+    S = len(lens)
+    if not S:
+        return False
+    pad = int(index.shards[0].store.starts[0])
+    total = pad + int((lens + pad).sum())
+    if total >= (1 << 31):
+        return False
+    lens_m = lens[np.argsort(ids, kind="stable")]
+    bound = int(
+        (np.arange(S, dtype=np.int64) * mult + lens_m + pad - 1 + Lq).max()
+    )
+    if bound >= DIRECT_SENT:
+        return False
+    counts_m = sum(
+        np.diff(np.asarray(s.seeds.bucket_starts, np.int64))
+        for s in index.shards
+    )
+    nb = index.shards[0].seeds.num_buckets
+    expand_m = int(counts_m[:nb].max(initial=1))
+    dw = 8
+    while dw < expand_m:
+        dw *= 2
+    return len(counts_m) * dw * 4 <= DIRECT_TABLE_CAP
+
+
 def pad_stack(xs: List[np.ndarray]) -> np.ndarray:
     """Stack per-shard arrays along a new leading axis, zero-padding the
     first dim to the max shard size (device arrays need static shapes)."""
@@ -364,7 +406,13 @@ def propose_shard(
     qi = qflat.astype(jnp.int32)
     exp_eff = table_width if direct_tables else expand
     per_frame = Lq * exp_eff * 4
-    qchunk = max(128, min(Qf, (128 << 20) // per_frame // 128 * 128))
+    qcap = max(128, min(Qf, (128 << 20) // per_frame // 128 * 128))
+    # chunk so Qf divides with MINIMAL padding: the padded tail rows ride
+    # through the gather + sort + rank at full cost (a naive cap of 6528
+    # padded config-2's 49152 frames to 52224 — 6% of the propose wall
+    # for nothing, PROFILE_r05)
+    nch = -(-Qf // qcap)
+    qchunk = max(128, min(qcap, _round_up(-(-Qf // nch), 128)))
     qpad = _round_up(Qf, qchunk)
     qi_p = jnp.concatenate(
         [qi, jnp.full((qpad - Qf, Lq), 25, jnp.int32)], axis=0
@@ -599,16 +647,30 @@ def align_shard(
     fused_words: Optional[tuple] = None,
     code_limit: int = 23,
     fused_interpret: bool = False,
+    srow_identity: int = 0,
 ):
     """Returns (score, qend, bend, s_end, g0, srow, owned), each (Qf, C);
     score is 0 (and fields garbage) for candidates not owned by this shard.
+
+    srow_identity > 0: the caller guarantees subject_ids[:srow_identity]
+    == arange(srow_identity) (true for every 1-shard / merged-colocated
+    index; the stacked row is BIG-padded beyond it) — the gsid -> row
+    map is then the identity and the (Qf x C)-lane searchsorted (a
+    20-step binary search of elementwise gathers, one of the largest
+    non-kernel costs in PROFILE_r05's align_prep wall) plus the
+    ownership gather drop to pure arithmetic. Bit-identical by
+    construction.
     """
     Qf, Lq = qflat.shape
     C = sel_gsid.shape[1]
     qi = qflat.astype(jnp.int32)
     S = subject_ids.shape[0]
-    srow = jnp.clip(jnp.searchsorted(subject_ids, sel_gsid), 0, S - 1)
-    owned = (subject_ids[srow] == sel_gsid) & (sel_gsid < BIG)
+    if srow_identity:
+        srow = jnp.clip(sel_gsid, 0, S - 1)
+        owned = (sel_gsid >= 0) & (sel_gsid < srow_identity)
+    else:
+        srow = jnp.clip(jnp.searchsorted(subject_ids, sel_gsid), 0, S - 1)
+        owned = (subject_ids[srow] == sel_gsid) & (sel_gsid < BIG)
     sub_start = starts[srow]
     sub_len = lengths[srow]
     half = band // 2
@@ -697,16 +759,22 @@ def align_shard(
         return sw_xla.sw_banded.__wrapped__(sc, gap_open, gap_extend)
 
     nchunks = npad // chunk
-    s, ie, be = lax.map(
-        chunk_fn,
-        (
-            qrep.reshape(nchunks, chunk, Lq),
-            w_all.reshape(nchunks, chunk, Lq + band),
-            g0f.reshape(nchunks, chunk),
-            lof.reshape(nchunks, chunk),
-            hif.reshape(nchunks, chunk),
-        ),
-    )
+    if nchunks == 1:
+        # single-chunk fast path: no lax.map wrapper at all — the map's
+        # while-loop lowering pessimizes the enclosed gathers/selects
+        # (part of PROFILE_r05's 79 ms align_prep wall)
+        s, ie, be = chunk_fn((qrep, w_all, g0f, lof, hif))
+    else:
+        s, ie, be = lax.map(
+            chunk_fn,
+            (
+                qrep.reshape(nchunks, chunk, Lq),
+                w_all.reshape(nchunks, chunk, Lq + band),
+                g0f.reshape(nchunks, chunk),
+                lof.reshape(nchunks, chunk),
+                hif.reshape(nchunks, chunk),
+            ),
+        )
     score = s.reshape(-1)[:N].reshape(Qf, C)
     qend = ie.reshape(-1)[:N].reshape(Qf, C)
     bend = be.reshape(-1)[:N].reshape(Qf, C)
@@ -757,7 +825,8 @@ propose_shard_jit = functools.partial(
 align_shard_jit = functools.partial(
     jax.jit,
     static_argnames=("band", "gap_open", "gap_extend", "chunk", "use_pallas",
-                     "lead", "fused_words", "code_limit", "fused_interpret"),
+                     "lead", "fused_words", "code_limit", "fused_interpret",
+                     "srow_identity"),
 )(align_shard)
 
 
@@ -828,12 +897,34 @@ class SearchEngine:
         Pallas kernel in INTERPRET mode even off-TPU — covers the fused
         static-arg plumbing (incl. through shard_map) on the CPU mesh."""
         self.cfg = cfg
-        self.index = index
         self._checked_fn = None
         self._fullstep_cache = {}
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
+        # Colocated-shard merge (VERDICT r04 missing #2): on the loop path
+        # every shard's propose/align runs sequentially on the ONE device,
+        # costing ~n_shards x the single-shard work (measured: 2-shard
+        # colocated ran at ~53% of 1-shard reads/s). When the merged index
+        # still fits the direct-table int32 packing, fold all shards into
+        # one logical shard at init — bit-identical by the shard-invariance
+        # contract (tests/test_index.py asserts byte-equality with a
+        # 1-shard build), full 1-shard throughput. Shards whose merged
+        # packing would overflow keep the sequential loop (the documented
+        # reason to shard a single-host index in the first place —
+        # DESIGN.md "replicate-vs-shard rule"). GHOSTM_TPU_MERGE_COLOCATED=0
+        # disables (tests use it to cover the true multi-shard loop path).
+        self.merged_colocated = False
+        if (
+            mesh is None and index.buffers.shape[0] > 1
+            and os.environ.get("GHOSTM_TPU_MERGE_COLOCATED", "1") != "0"
+            and _merge_fits_direct(index, cfg)
+        ):
+            from ghostm_tpu.index.diskio import merge_shards
+
+            index = merge_shards(index)
+            self.merged_colocated = True
+        self.index = index
         self.lead = lead_pad(cfg)
         self.matrix = jnp.asarray(padded_matrix(cfg.matrix, hard_stop=True))
         self.mesh = mesh
@@ -856,15 +947,33 @@ class SearchEngine:
         )
         if fused_engaged:
             per_aln = (3 * cfg.query_frame_len + 3 * cfg.band_width + 64) * 4
-            hard_cap = 65536
+            # r05: budget sized so a full config-2 batch (Qf x ncand =
+            # 393k alignments, ~440 MB of streamed code slabs) runs as
+            # ONE chunk — the lax.map wrapper's while-loop lowering was
+            # pessimizing the per-chunk gathers/selects (PROFILE_r05
+            # align_prep 79 ms); the slabs stream through HBM, they are
+            # not VMEM-resident, so the old 128 MB budget was spurious
+            hard_cap = 1 << 19
+            mem_budget = 512 << 20
         else:
             per_aln = cfg.query_frame_len * cfg.band_width * 4
             hard_cap = 8192
-        mem_cap = max(128, (128 << 20) // per_aln)
+            mem_budget = 128 << 20
+        mem_cap = max(128, mem_budget // per_aln)
         self.chunk = max(
             128, min(hard_cap, _round_up(n_sw, 128), mem_cap // 128 * 128)
         )
         self.expand = index.expand_width
+        # gsid -> subject-row identity per shard (1-shard and merged
+        # indexes always qualify): lets align_shard skip its searchsorted
+        self._srow_ident = []
+        for i in range(self.n_shards):
+            st = index.shards[i].store
+            n = st.num_subjects
+            ident = n > 0 and bool(
+                (np.asarray(st.subject_ids) == np.arange(n)).all()
+            )
+            self._srow_ident.append(n if ident else 0)
         self._propose_static = dict(
             seed_len=cfg.seed_len,
             expand=self.expand,
@@ -1040,11 +1149,11 @@ class SearchEngine:
         pv = jnp.concatenate([p[2] for p in props], axis=1)
         sel_g, sel_b = sfn(pg, pb, pv, C, als.get("use_pallas", False))
         outs = []
-        for d in shard_dev:
+        for i, d in enumerate(shard_dev):
             outs.append(afn(
                 qflat, d["buffer"], d["starts"], d["subject_ids"],
                 d["lengths"], matrix, sel_g, sel_b,
-                **als,
+                **dict(als, srow_identity=self._srow_ident[i]),
             ))
         stacked = [jnp.stack(x) for x in zip(*outs)]
         uk = als.get("use_pallas", False)
@@ -1055,6 +1164,29 @@ class SearchEngine:
 
     _SHARD_KEYS = ("bucket_starts", "tab_main", "tab_aux", "subject_ids",
                    "lengths", "buffer", "starts")
+
+    def _step_body(self, qcodes3, matrix, flat, R):
+        """Traced body shared by the qcodes and the dna full-step
+        programs: propose (all shards) -> select -> align -> rank ->
+        packed refine, returning the (18, R, K) array."""
+        cfg = self.cfg
+        n_shards = self.n_shards
+        nkeys = len(self._SHARD_KEYS)
+        shard_dev = [
+            dict(zip(self._SHARD_KEYS, flat[i * nkeys:(i + 1) * nkeys]))
+            for i in range(n_shards)
+        ]
+        qflat = qcodes3.reshape(R * NFRAMES, cfg.query_frame_len)
+        packed = self._search_phases(
+            qflat, R, jitted="inline", shard_dev=shard_dev, matrix=matrix,
+        )
+        refine_args = []
+        for d in shard_dev:
+            refine_args += [d["buffer"], d["starts"], d["lengths"]]
+        stats = self._refine_packed_jit.__wrapped__(
+            qcodes3, packed, matrix, *refine_args
+        )
+        return jnp.concatenate([packed, stats], axis=0)
 
     def _fullstep_for(self, R: int):
         """ONE jitted program for a whole loop-path batch: propose (all
@@ -1071,30 +1203,106 @@ class SearchEngine:
         fn = self._fullstep_cache.get(R)
         if fn is not None:
             return fn
-        cfg = self.cfg
-        n_shards = self.n_shards
-        nkeys = len(self._SHARD_KEYS)
 
         def step(qcodes3, matrix, *flat):
-            shard_dev = [
-                dict(zip(self._SHARD_KEYS, flat[i * nkeys:(i + 1) * nkeys]))
-                for i in range(n_shards)
-            ]
-            qflat = qcodes3.reshape(R * NFRAMES, cfg.query_frame_len)
-            packed = self._search_phases(
-                qflat, R, jitted="inline", shard_dev=shard_dev,
-                matrix=matrix,
-            )
-            refine_args = []
-            for d in shard_dev:
-                refine_args += [d["buffer"], d["starts"], d["lengths"]]
-            stats = self._refine_packed_jit.__wrapped__(
-                qcodes3, packed, matrix, *refine_args
-            )
-            return jnp.concatenate([packed, stats], axis=0)
+            return self._step_body(qcodes3, matrix, flat, R)
 
         fn = jax.jit(step)
         self._fullstep_cache[R] = fn
+        return fn
+
+    def _pack_transport(self, out18):
+        """(18, R, K) full-step output -> (6, R, K) int32 packed
+        transport holding EXACTLY the fields report.write_hits consumes
+        (gsid, score, frame, subject-local end, qstart/qend, window-local
+        sstart/send, length, matches, mismatch, gapopen). The tunnel
+        fetches D2H at ~12-40 MB/s (weather; tools probe r05), so the
+        72 B/hit full payload cost 200-500 ms/batch — 3x fewer bytes is
+        the single biggest e2e lever after the device step itself.
+        Bounds asserted by _pack_ok at init; bit-exact round trip
+        (unpack_results, tests/test_pipeline.py)."""
+        score, gsid, frame = out18[0], out18[1], out18[2]
+        s_end = out18[4]
+        qs, qe, ss, se = (out18[9] + 1, out18[10] + 1, out18[11] + 1,
+                          out18[12] + 1)
+        length, matches, mism, gap = (out18[13], out18[14], out18[15],
+                                      out18[16])
+        w1 = (score << 15) | (frame << 12) | gap
+        w2 = (qs << 13) | qe
+        w3 = (ss << 13) | se
+        w4 = (length << 13) | matches
+        w5 = (mism << 19) | s_end
+        return jnp.stack([gsid, w1, w2, w3, w4, w5])
+
+    @functools.cached_property
+    def _pack_ok(self) -> bool:
+        """Can the packed transport hold this config's value ranges?
+        (score < 2^17, coords+1 < 2^13, subject-local end < 2^19,
+        mismatch < 2^13, gapopen < 2^12.) Falls back to the full
+        (18, R, K) payload otherwise — e.g. very long frames or
+        million-residue subjects."""
+        cfg = self.cfg
+        Lq, B = cfg.query_frame_len, cfg.band_width
+        max_score = int(np.asarray(self.matrix).max()) * Lq
+        return bool(
+            Lq + B + 2 < (1 << 13)
+            and max_score < (1 << 17)
+            and Lq < (1 << 12)
+            and int(self.index.lengths.max()) + B + Lq < (1 << 19)
+        )
+
+    def unpack_transport(self, arr: np.ndarray):
+        """(6, R, K) packed transport -> (BatchHits, stats). The
+        bookkeeping fields the writer never reads (qend/bend/g0/srow/
+        shard — window coordinates internal to the device step) come
+        back as zeros; score_check is omitted (the full payload keeps
+        it — used by tests and --check only)."""
+        w = arr.astype(np.uint32)
+        z = np.zeros_like(arr[0])
+        score = (w[1] >> 15).astype(np.int32)
+        frame = ((w[1] >> 12) & 7).astype(np.int32)
+        gap = (w[1] & 0xFFF).astype(np.int32)
+        qs = ((w[2] >> 13) & 0x1FFF).astype(np.int32) - 1
+        qe = (w[2] & 0x1FFF).astype(np.int32) - 1
+        ss = ((w[3] >> 13) & 0x1FFF).astype(np.int32) - 1
+        se = (w[3] & 0x1FFF).astype(np.int32) - 1
+        length = ((w[4] >> 13) & 0x1FFF).astype(np.int32)
+        matches = (w[4] & 0x1FFF).astype(np.int32)
+        mism = (w[5] >> 19).astype(np.int32)
+        s_end = (w[5] & 0x7FFFF).astype(np.int32)
+        hits = BatchHits(
+            score=score, gsid=arr[0], frame=frame, qend=z, s_end=s_end,
+            bend=z, g0=z, srow=z, shard=z,
+        )
+        stats = dict(qstart=qs, qend=qe, sstart=ss, send=se, length=length,
+                     matches=matches, mismatch=mism, gapopen=gap)
+        return hits, stats
+
+    def _fullstep_dna_for(self, R: int):
+        """The dna-input full step (the pipeline's operative program):
+        six-frame translation runs ON DEVICE inside the same compiled
+        program (ops.translate.six_frame_translate_jnp — the host
+        translate cost ~34 ms of serial main-thread time per 8192-read
+        batch, PROFILE_r05 gap analysis), the H2D transfer shrinks 2.4x
+        (raw dna vs 6 translated frames), and the result is PACKED to
+        6 words/hit for the slow tunnel D2H (when _pack_ok).
+        Writer-visibly identical to translate + _fullstep_for
+        (tests/test_pipeline.py)."""
+        from ghostm_tpu.ops.translate import six_frame_translate_jnp
+
+        fn = self._fullstep_cache.get(("dna", R))
+        if fn is not None:
+            return fn
+        Lq = self.cfg.query_frame_len
+        pack = self._pack_ok
+
+        def step(dna, lens, matrix, *flat):
+            qcodes3 = six_frame_translate_jnp(dna, lens, Lq)
+            out = self._step_body(qcodes3, matrix, flat, R)
+            return self._pack_transport(out) if pack else out
+
+        fn = jax.jit(step)
+        self._fullstep_cache[("dna", R)] = fn
         return fn
 
     def search_batch_checked(self, qcodes: np.ndarray) -> BatchHits:
@@ -1224,8 +1432,35 @@ class SearchEngine:
         )
         return out[:, :R] if R < Rb else out
 
+    def search_refine_async_dna(self, dna: np.ndarray,
+                                lens: np.ndarray) -> jnp.ndarray:
+        """search_refine_async taking RAW DNA reads: translation runs on
+        device inside the one compiled program (_fullstep_dna_for). Same
+        tail-batch padding contract (pad reads are length-0 -> all-PAD
+        frames -> inert). Bit-identical to
+        search_refine_async(translate(dna, lens))."""
+        assert self.mesh is None
+        R = dna.shape[0]
+        Rb = self.cfg.query_batch
+        if R < Rb:
+            dna = np.concatenate(
+                [dna, np.full((Rb - R,) + dna.shape[1:], 4, dna.dtype)]
+            )
+            lens = np.concatenate([lens, np.zeros(Rb - R, lens.dtype)])
+        args = []
+        for d in self.shard_dev:
+            args += [d[k] for k in self._SHARD_KEYS]
+        out = self._fullstep_dna_for(dna.shape[0])(
+            jnp.asarray(dna), jnp.asarray(np.asarray(lens, np.int32)),
+            self.matrix, *args,
+        )
+        return out[:, :R] if R < Rb else out
+
     def unpack_results(self, arr: np.ndarray):
-        """(18, R, K) fetched array -> (BatchHits, stats dict)."""
+        """Fetched full-step array -> (BatchHits, stats dict); accepts
+        the full (18, R, K) payload or the (6, R, K) packed transport."""
+        if arr.shape[0] == 6:
+            return self.unpack_transport(arr)
         hits = BatchHits(*(arr[i] for i in range(9)))
         stats = {k: arr[9 + j] for j, k in enumerate(self.STAT_KEYS)}
         stats["score_check"] = arr[17]

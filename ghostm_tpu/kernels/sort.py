@@ -295,6 +295,73 @@ def sort_vote_rank_rows(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("ncand", "min_votes", "interpret")
+)
+def merge_vote_rank_rows(
+    a: jnp.ndarray, b: jnp.ndarray, ncand: int, min_votes: int,
+    interpret: bool = False,
+):
+    """Fused vote+rank over the UNION of two row-sorted key arrays —
+    the top half of the split-sort propose path (r05, PROFILE_r05:
+    the monolithic sort+vote kernel was 49% of the batch step, and
+    28% of its passes were spent re-merging the power-of-two padding).
+
+    a: (Q, La) rows sorted ascending, La a power of two >= 128;
+    b: (Q, Mb) rows sorted ascending, Mb <= La.
+
+    Assembles the bitonic row [a | PAD | flip(b)] (ascending then
+    descending — a valid bitonic sequence) and runs ONLY the final
+    bitonic merge stage (log2(2*La) passes) before the in-kernel
+    run-length vote + top-ncand. Bit-identical to
+    sort_vote_rank_rows(concat([a_raw, b_raw])) for any inputs whose
+    sorts these are: integer sort output is unique, so the merged row
+    equals the full sort of the concatenation."""
+    Q, La = a.shape
+    Mb = b.shape[1]
+    if Mb > La or La & (La - 1) or La < _LANES:
+        raise ValueError(f"merge needs pow2 La >= {_LANES} >= Mb; "
+                         f"got La={La} Mb={Mb}")
+    L = 2 * La
+    if 2 * L.bit_length() > 31:
+        raise ValueError(f"row length {L} overflows packed in-kernel top-k")
+    if ncand > _LANES:
+        raise ValueError(f"ncand={ncand} exceeds kernel lane width {_LANES}")
+    assembled = jnp.concatenate([
+        a.astype(jnp.int32),
+        jnp.full((Q, La - Mb), PAD, jnp.int32),
+        jnp.flip(b.astype(jnp.int32), axis=1),
+    ], axis=1)
+    rows = max(8, min(256, (1 << 20) // (L * 4) // 8 * 8))
+    Qp = -(-Q // rows) * rows
+    if Qp != Q:
+        assembled = jnp.concatenate([
+            assembled, jnp.full((Qp - Q, L), PAD, jnp.int32)
+        ])
+    nstage = L.bit_length() - 1
+    ko, vo = pl.pallas_call(
+        functools.partial(
+            _sort_vote_kernel, rows=rows, length=L, first=nstage,
+            ncand=ncand, min_votes=min_votes,
+        ),
+        grid=(Qp // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, L), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows, _LANES), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ] * 2,
+        out_shape=[jax.ShapeDtypeStruct((Qp, _LANES), jnp.int32)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=96 << 20,
+        ),
+        interpret=interpret,
+    )(assembled)
+    return ko[:Q, :ncand], vo[:Q, :ncand]
+
+
+@functools.partial(
     jax.jit, static_argnames=("presorted_run", "interpret")
 )
 def sort_rows(

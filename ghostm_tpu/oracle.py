@@ -81,21 +81,30 @@ def sw_full(
     gap_open: int,
     gap_extend: int,
 ) -> int:
-    """Unbanded local SW best score (full O(n*m)); sensitivity reference."""
+    """Unbanded local SW best score (full O(n*m)); sensitivity reference.
+
+    Textbook Gotoh: E (gap in target) runs HORIZONTALLY within a query
+    row; F (gap in query) runs VERTICALLY down each target column, so it
+    must be a per-column array carried ACROSS rows. (r05 fix: the
+    original carried F along the row off the previous row's H — that
+    re-opened every multi-row gap and admitted illegal mixed moves;
+    found when the device column-scan oracle disagreed by +1 on a
+    length-2 query gap. tests/test_sensitivity_oracle.py cross-checks
+    against an independent full-matrix Gotoh.)"""
     n, m = len(q), len(t)
     go1, ge = gap_open + gap_extend, gap_extend
     H = np.zeros(m + 1, dtype=np.int64)
-    E = np.full(m + 1, NEG, dtype=np.int64)
+    F = np.full(m + 1, NEG, dtype=np.int64)
     best = 0
     for i in range(n):
         diag = 0
-        F = NEG
+        E = NEG
         newH = np.zeros(m + 1, dtype=np.int64)
         for j in range(1, m + 1):
             s = subst(matrix, q[i], t[j - 1])
-            F = max(H[j] - go1, F - ge)
-            E[j] = max(newH[j - 1] - go1, E[j - 1] - ge)
-            h = max(0, diag + s, E[j], F)
+            E = max(newH[j - 1] - go1, E - ge)
+            F[j] = max(H[j] - go1, F[j] - ge)
+            h = max(0, diag + s, E, F[j])
             diag = H[j]
             newH[j] = h
             best = max(best, int(h))

@@ -206,17 +206,26 @@ def run_search(
             if checkpointing and bi < done:
                 continue
             t0 = time.time()
-            qcodes = engine.translate(dna, lens)
-            if cfg.check and use_async:
-                # checkify debug pass (raises on OOB/NaN; SURVEY.md §5.2)
-                engine.search_batch_checked(qcodes)
-            if use_async:
-                payload = engine.search_refine_async(qcodes)
-            elif multiproc:
-                payload = engine.search_batch_stats_local(qcodes)
+            if use_async and not cfg.check:
+                # r05: translation runs ON DEVICE inside the one compiled
+                # program (engine._fullstep_dna_for) — the host translate
+                # cost ~34 ms of serial main-thread time per 8192-read
+                # batch; bit-identical (tests/test_pipeline.py)
+                R = dna.shape[0]
+                payload = engine.search_refine_async_dna(dna, lens)
             else:
-                # mesh path: hits AND refine stats from ONE compiled step
-                payload = engine.search_batch_stats(qcodes)
+                qcodes = engine.translate(dna, lens)
+                R = qcodes.shape[0]
+                if cfg.check and use_async:
+                    # checkify debug pass (raises on OOB/NaN; SURVEY.md §5.2)
+                    engine.search_batch_checked(qcodes)
+                if use_async:
+                    payload = engine.search_refine_async(qcodes)
+                elif multiproc:
+                    payload = engine.search_batch_stats_local(qcodes)
+                else:
+                    # mesh path: hits AND stats from ONE compiled step
+                    payload = engine.search_batch_stats(qcodes)
             if pending is not None:
                 if flusher is None:
                     _flush(pending)
@@ -225,7 +234,7 @@ def run_search(
                         fut.result()   # propagate errors, bound the queue
                     fut = flusher.submit(_flush, pending)
             pending = (
-                bi, names, lens, len(names), qcodes.shape[0], payload, t0
+                bi, names, lens, len(names), R, payload, t0
             )
             if sync_pipeline:
                 _flush(pending)

@@ -77,6 +77,91 @@ def test_disk_roundtrip(tmp_path, rng):
     assert (loaded.buffers[0, len(sh0.store.buffer):] == SENTINEL).all()
 
 
+def _build_sharded(recs, n_shards, k=3, hits_per_seed=16, pad=8):
+    """db-mode build (global truncation -> shard -> per-shard index)."""
+    from ghostm_tpu.ops.encode import encode_aa
+
+    keep = seeds.global_bucket_truncation(
+        [encode_aa(s) for _, s in recs], k, hits_per_seed
+    )
+    assign = store.shard_records(recs, n_shards)
+    shards = []
+    for ids in assign:
+        st = store.build_store([recs[i] for i in ids], pad, subject_ids=ids)
+        kb = np.zeros(len(st.buffer), dtype=bool)
+        for r, gi in enumerate(ids):
+            kb[st.starts[r]: st.starts[r] + len(keep[gi])] = keep[gi]
+        shards.append(
+            diskio.IndexShard(st, seeds.build_seed_index(st.buffer, k, kb))
+        )
+    return diskio.stack_shards(shards, k)
+
+
+def test_merge_shards_equals_one_shard_build(rng):
+    """merge_shards of a 3-shard index is BYTE-identical to the 1-shard
+    build of the same records — buffer, starts, ids, seed positions,
+    bucket_starts, names (the basis for the engine's colocated-shard
+    merge being bit-identical)."""
+    recs = _records(rng, 37, lo=20, hi=120)
+    one = _build_sharded(recs, 1, hits_per_seed=4)   # low cap: truncation on
+    three = _build_sharded(recs, 3, hits_per_seed=4)
+    merged = diskio.merge_shards(three)
+    assert merged.buffers.shape[0] == 1
+    a, b = merged.shards[0], one.shards[0]
+    assert (a.store.buffer == b.store.buffer).all()
+    assert (a.store.starts == b.store.starts).all()
+    assert (a.store.lengths == b.store.lengths).all()
+    assert (a.store.subject_ids == b.store.subject_ids).all()
+    assert a.store.names == b.store.names
+    assert (a.seeds.positions == b.seeds.positions).all()
+    assert (a.seeds.bucket_starts == b.seeds.bucket_starts).all()
+    assert merged.expand_width == one.expand_width
+    assert merged.total_residues == one.total_residues
+
+
+def test_colocated_merge_engine_paths(rng, monkeypatch):
+    """The engine merges colocated shards by default (merged search ==
+    unmerged loop search == 1-shard search, bit-identical), and
+    GHOSTM_TPU_MERGE_COLOCATED=0 preserves the true multi-shard loop
+    path for coverage."""
+    from ghostm_tpu.config import Config
+    from ghostm_tpu.engine import SearchEngine
+    from ghostm_tpu.ops.encode import encode_dna
+    from tools.simulate import reads_from_proteins
+
+    recs = _records(rng, 40, lo=40, hi=150)
+    cfg = Config(query_batch=32, seed_len=3, hits_per_seed=16)
+    one = _build_sharded(recs, 1)
+    two = _build_sharded(recs, 2)
+    prots = [s.decode() for _, s in recs]
+    names, reads = reads_from_proteins(rng, prots, 32, read_len=100)
+    dna = np.full((32, 100), 4, np.int8)
+    lens = np.zeros(32, np.int32)
+    for i, rd in enumerate(reads):
+        c = encode_dna(rd)
+        dna[i, : len(c)] = c
+        lens[i] = len(c)
+
+    def run(index, merge):
+        monkeypatch.setenv("GHOSTM_TPU_MERGE_COLOCATED", merge)
+        eng = SearchEngine(cfg, index, use_pallas=False)
+        qc = eng.translate(dna, lens)
+        return eng, np.asarray(eng.search_refine_async(qc))
+
+    eng1, r1 = run(one, "1")
+    eng2m, r2m = run(two, "1")
+    eng2l, r2l = run(two, "0")
+    assert not eng1.merged_colocated and eng2m.merged_colocated
+    assert not eng2l.merged_colocated and eng2l.n_shards == 2
+    assert eng2m.n_shards == 1
+    assert (r1 == r2m).all()
+    # loop path: same hits + stats modulo the buffer-layout bookkeeping
+    # fields (rows 6-8 are window start in shard-local buffer coords,
+    # shard-local subject row, shard id — merged collapses all three)
+    assert (r1[:6] == r2l[:6]).all()
+    assert (r1[9:] == r2l[9:]).all()
+
+
 def test_table_width_guard():
     """Engine steps the aligned-table width down when bucket padding would
     inflate the table past 2x the raw positions (VERDICT r01 weak #4)."""

@@ -100,6 +100,25 @@ def test_matrix_pinned_values():
                    ("D", "E", 3), ("H", "Q", 3)])
 
 
+def test_translate_device_matches_host(rng):
+    """six_frame_translate_jnp (the in-program device path) is
+    bit-identical to the numpy host path across read lengths 0..L,
+    ambiguous bases, and frame truncation."""
+    import jax.numpy as jnp
+
+    R, L = 64, 100
+    dna = rng.integers(0, 5, (R, L)).astype(np.int8)  # incl. N
+    lens = rng.integers(0, L + 1, R).astype(np.int64)
+    lens[:8] = [0, 1, 2, 3, 4, L, L - 1, 50]
+    for frame_len in (40, 20, 64):
+        host = translate.six_frame_translate(dna, lens, frame_len)
+        dev = np.asarray(translate.six_frame_translate_jnp(
+            jnp.asarray(dna), jnp.asarray(lens.astype(np.int32)), frame_len
+        ))
+        assert host.shape == dev.shape
+        assert (host == dev).all()
+
+
 def test_padded_matrix_sentinels():
     m = scoring.padded_matrix(hard_stop=True)
     assert m.shape == (32, 32)

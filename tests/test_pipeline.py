@@ -119,3 +119,24 @@ def test_async_path_equals_sync(dataset, tmp_path):
         )
     for k in stats:
         np.testing.assert_array_equal(stats[k], stats2[k], err_msg=k)
+    # the dna-input program (in-graph device translation + 6-word packed
+    # transport, the pipeline's operative path) must reproduce every
+    # writer-visible field of the full payload, incl. a padded tail batch
+    def check_packed(arr_full, arr_packed, msg):
+        h1, s1 = eng.unpack_results(np.asarray(arr_full))
+        h2, s2 = eng.unpack_results(np.asarray(arr_packed))
+        for f in ("score", "gsid", "frame", "s_end"):
+            np.testing.assert_array_equal(
+                getattr(h1, f), getattr(h2, f), err_msg=f"{msg}: {f}"
+            )
+        for k in ("qstart", "qend", "sstart", "send", "length", "matches",
+                  "mismatch", "gapopen"):
+            np.testing.assert_array_equal(s1[k], s2[k], err_msg=f"{msg}:{k}")
+
+    assert eng._pack_ok
+    arr3 = eng.search_refine_async_dna(dna, lens)
+    assert arr3.shape[0] == 6
+    check_packed(arr, arr3, "dna full-step")
+    tail = eng.search_refine_async_dna(dna[:17], lens[:17])
+    qc_t = eng.translate(dna[:17], lens[:17])
+    check_packed(eng.search_refine_async(qc_t), tail, "dna tail batch")

@@ -74,6 +74,41 @@ def test_sort_vote_rank_kernel_matches_xla(rng, q, m, run, minv):
     np.testing.assert_array_equal(np.asarray(gv), np.asarray(wv))
 
 
+@pytest.mark.parametrize(
+    "q,nruns,run,minv", [(8, 36, 128, 1), (8, 9, 128, 1), (6, 6, 256, 2),
+                         (8, 5, 1024, 1)]
+)
+def test_split_sort_merge_vote_matches_monolithic(rng, q, nruns, run, minv):
+    """The r05 split-sort path (sort leading 2^a runs + remainder
+    separately, bitonic-merge + vote in one kernel) must be
+    bit-identical to the monolithic fused kernel — including the
+    config-2 shape (36 runs of 128)."""
+    from ghostm_tpu.kernels.sort import (
+        merge_vote_rank_rows, sort_rows, sort_vote_rank_rows,
+    )
+
+    m = nruns * run
+    ncand = 8
+    keys = rng.integers(0, 1 << 24, (q, m)).astype(np.int32)
+    keys[rng.random((q, m)) < 0.4] = int(cand.BIG)
+    # heavy duplication across runs so votes actually stack
+    keys[rng.random((q, m)) < 0.3] = 12345
+    k3 = np.sort(keys.reshape(q, nruns, run), axis=2)
+    k3[:, 1::2] = k3[:, 1::2, ::-1]
+    keys_r = k3.reshape(q, m)
+    want_k, want_v = sort_vote_rank_rows(
+        jnp.asarray(keys_r), ncand, minv, presorted_run=run, interpret=True
+    )
+    m1 = run << (nruns.bit_length() - 1)
+    A = sort_rows(jnp.asarray(keys_r[:, :m1]), presorted_run=run,
+                  interpret=True)
+    B = sort_rows(jnp.asarray(keys_r[:, m1:]), presorted_run=run,
+                  interpret=True)
+    got_k, got_v = merge_vote_rank_rows(A, B, ncand, minv, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_k), np.asarray(want_k))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+
+
 @pytest.mark.parametrize("q,m,nk,nops,topk", [
     (64, 48, 5, 9, 10), (16, 16, 3, 3, 8), (8, 100, 2, 4, 100),
 ])

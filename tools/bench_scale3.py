@@ -100,7 +100,30 @@ def run_cli(args_list, timeout=3600, time_v=False):
     for line in r.stderr.splitlines():
         if "Maximum resident set size" in line:
             rss = int(line.split()[-1]) * 1024
+    run_cli.last_stderr = r.stderr
     return dt, rss
+
+
+def init_steady_split(stderr, total_wall):
+    """(init_s, stream_s, steady_batch_walls): init = wall before the
+    first per-batch log line's timestamp window (index load + table
+    build + first compile), stream = first-to-last batch-line span.
+    VERDICT r04 weak #5: SCALE3 buried ~2 min of init in its headline."""
+    import datetime
+    import re
+
+    stamps, walls = [], []
+    for m in re.finditer(
+        r"^(\d{4}-\d\d-\d\d \d\d:\d\d:\d\d,\d\d\d).*batch \d+: \d+ reads,"
+        r" \d+ rows, ([\d.]+)s", stderr, re.M,
+    ):
+        stamps.append(datetime.datetime.strptime(
+            m.group(1), "%Y-%m-%d %H:%M:%S,%f"))
+        walls.append(float(m.group(2)))
+    if not stamps:
+        return None, None, []
+    stream = (stamps[-1] - stamps[0]).total_seconds() + walls[0]
+    return round(total_wall - stream, 1), round(stream, 1), walls
 
 
 def top1_accuracy(tsv, want_subj, n_reads):
@@ -169,10 +192,17 @@ def main():
         timeout=7200, time_v=True,
     )
     acc, hitrate = top1_accuracy(hits, subj, args.reads)
+    init_s, stream_s, bw = init_steady_split(run_cli.last_stderr, dt)
     art.update({
         "reads": args.reads, "seqs": args.seqs, "shards": 2, "k": 5,
         "aln_wall_s": round(dt, 1),
         "reads_per_s": round(args.reads / dt, 1),
+        # VERDICT r04 weak #5: init (index load + table build + first
+        # compile) reported SEPARATELY from the streaming phase
+        "init_s": init_s,
+        "stream_s": stream_s,
+        "steady_reads_per_s": round(args.reads / stream_s, 1)
+        if stream_s else None,
         "peak_rss_gb": round(rss / 1e9, 2) if rss else None,
         "top1_acc": round(acc, 4), "hit_rate": round(hitrate, 4),
     })
