@@ -66,6 +66,9 @@ def subset_rows(tsv, names):
 
 def one_config(tag, read_len, frame_len, band, n_proteins, n_reads,
                protein_len, candidates=4, subset=16):
+    """subset=0 skips the CPU spot-check leg (cross-backend byte-identity
+    at these shapes is already LONGREAD_r04.json + verify_golden.sh; on a
+    2-core host the XLA-CPU compile+run at kbp frames costs ~1 h)."""
     work = tempfile.mkdtemp(prefix=f"lrp_{tag}_")
     db_fa, reads_fa = make_dataset(
         os.path.join(work, "lr"), n_proteins=n_proteins, n_reads=n_reads,
@@ -99,20 +102,33 @@ def one_config(tag, read_len, frame_len, band, n_proteins, n_reads,
     if os.path.exists(hbm_log):
         with open(hbm_log) as f:
             hbm = json.load(f)
-    # correctness spot-check: CPU on a 16-read subset vs the TPU table
-    sub_fa = os.path.join(work, "reads_sub.fa")
-    sub_names = set()
-    with open(reads_fa) as f, open(sub_fa, "w") as g:
-        for i in range(2 * subset):
-            ln = f.readline()
-            if i % 2 == 0:
-                sub_names.add(ln[1:].strip())
-            g.write(ln)
-    out_cpu = os.path.join(work, "hits_cpu_sub.tsv")
-    t_cpu, _ = run_cli(
-        ["aln", "-d", idx, "-i", sub_fa, "-o", out_cpu, "--no-pallas",
-         "--cpu", "1", "--config", cfgf, "--max-read-len", mrl, "-v"])
-    same = subset_rows(out_cpu, sub_names) == subset_rows(out_tpu, sub_names)
+    # correctness spot-check: CPU on a small read subset vs the TPU table
+    # (its own config with query_batch == subset — compiling the CPU leg
+    # at the full TPU batch is pure waste)
+    same = None
+    if subset:
+        sub_fa = os.path.join(work, "reads_sub.fa")
+        sub_names = set()
+        with open(reads_fa) as f, open(sub_fa, "w") as g:
+            for i in range(2 * subset):
+                ln = f.readline()
+                if i % 2 == 0:
+                    sub_names.add(ln[1:].strip())
+                g.write(ln)
+        sub_cfgf = os.path.join(work, "cfg_sub.json")
+        with open(sub_cfgf, "w") as f:
+            json.dump({
+                "query_frame_len": frame_len, "band_width": band,
+                "query_batch": subset, "seed_len": 4, "chain_gamma": 2,
+                "candidates_per_frame": candidates,
+            }, f)
+        out_cpu = os.path.join(work, "hits_cpu_sub.tsv")
+        t_cpu, _ = run_cli(
+            ["aln", "-d", idx, "-i", sub_fa, "-o", out_cpu, "--no-pallas",
+             "--cpu", "1", "--config", sub_cfgf, "--max-read-len", mrl,
+             "-v"])
+        same = subset_rows(out_cpu, sub_names) == subset_rows(
+            out_tpu, sub_names)
     row = {
         "config": tag, "read_len": read_len, "frame_len": frame_len,
         "band": band, "reads": n_reads, "proteins": n_proteins,
@@ -132,10 +148,14 @@ def one_config(tag, read_len, frame_len, band, n_proteins, n_reads,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-o", "--output", default="LONGREAD_r05.json")
+    ap.add_argument("--cpu-subset", type=int, default=16,
+                    help="reads in the CPU spot-check leg (0 = skip)")
     args = ap.parse_args()
     rows = [
-        one_config("5kbp", 5000, 1728, 64, 300, 256, (1750, 1850)),
-        one_config("10kbp", 9999, 3456, 128, 100, 128, (3400, 3500)),
+        one_config("5kbp", 5000, 1728, 64, 300, 256, (1750, 1850),
+                   subset=args.cpu_subset),
+        one_config("10kbp", 9999, 3456, 128, 100, 128, (3400, 3500),
+                   subset=args.cpu_subset),
     ]
     out = {
         "protocol": (
@@ -151,7 +171,9 @@ def main():
             "LONGREAD_r04.json, tools/verify_golden.sh). Kernel-level "
             "GCUPS at these shapes: LONGREAD_r03.json (83-112)."),
         "rows": rows,
-        "all_identical": all(r["cpu_subset_rows_identical"] for r in rows),
+        "all_identical": all(
+            r["cpu_subset_rows_identical"] for r in rows
+        ) if args.cpu_subset else None,
     }
     with open(os.path.join(REPO, args.output), "w") as f:
         json.dump(out, f, indent=1)
