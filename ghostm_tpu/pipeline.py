@@ -19,7 +19,7 @@ from typing import Iterable, Optional
 
 import numpy as np
 
-from ghostm_tpu.report import M8_HEADER, write_hits
+from ghostm_tpu.report import M8_HEADER, SubjectNames, write_hits
 from ghostm_tpu.utils.metrics import BatchMetrics, MetricsLog
 
 log = logging.getLogger("ghostm_tpu.pipeline")
@@ -27,12 +27,12 @@ log = logging.getLogger("ghostm_tpu.pipeline")
 NFRAMES = 6
 
 
-def _subject_names(index) -> dict:
+def _subject_names(index) -> SubjectNames:
     names = {}
     for sh in index.shards:
         for row, gid in enumerate(sh.store.subject_ids):
             names[int(gid)] = sh.store.names[row]
-    return names
+    return SubjectNames(names)
 
 
 def run_search(

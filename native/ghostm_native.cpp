@@ -9,6 +9,11 @@
 //                      (index/seeds.py build_seed_index)
 //   - fasta_scan/read: two-pass FASTA parser into a packed arena
 //                      (io/fasta.py iter_fasta for protein DBs)
+//   - m8_format_rows:  BLAST-m8 TSV row formatter (report.write_hits's
+//                      per-row f-string loop; printf %.2f/%.2e/%.1f are
+//                      correctly-rounded like CPython's float formatting,
+//                      so the text is byte-identical — fuzz-checked in
+//                      tests/test_native.py)
 //
 // Build: make -C native   (g++ -O3 -march=native -shared -fPIC)
 
@@ -160,6 +165,42 @@ int fasta_read(const char* path, int8_t* seq_arena, int64_t* seq_starts,
     free(line);
     fclose(f);
     return 0;
+}
+
+// ---- BLAST-m8 TSV row formatting (report.write_hits hot loop) ------------
+// One call formats n pre-filtered rows. Name strings come as packed arenas
+// with (len+1)-style offset tables: record i's bytes are
+// arena[off[i] .. off[i+1]-1] (no NULs required). The numeric columns are
+// the exact float64/int values the Python path feeds its f-string, so
+// printf and CPython produce the same text (both correctly rounded,
+// half-to-even; "%.2e" and Python ":.2e" both emit >= 2 exponent digits).
+// Returns bytes written, or -1 if `cap` is too small (caller resizes).
+
+int64_t m8_format_rows(
+    int64_t n,
+    const int32_t* qrow, const char* qarena, const int64_t* qoff,
+    const int32_t* srow, const char* sarena, const int64_t* soff,
+    const double* pident, const int32_t* length, const int32_t* mismatch,
+    const int32_t* gapopen, const int64_t* qs, const int64_t* qe,
+    const int64_t* ss, const int64_t* se, const double* evalue,
+    const double* bits, char* out, int64_t cap) {
+    int64_t pos = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t q0 = qoff[qrow[i]], qn = qoff[qrow[i] + 1] - q0;
+        int64_t s0 = soff[srow[i]], sn = soff[srow[i] + 1] - s0;
+        // worst-case numeric tail < 160 bytes
+        if (pos + qn + sn + 160 > cap) return -1;
+        memcpy(out + pos, qarena + q0, qn); pos += qn;
+        out[pos++] = '\t';
+        memcpy(out + pos, sarena + s0, sn); pos += sn;
+        pos += snprintf(
+            out + pos, 160,
+            "\t%.2f\t%d\t%d\t%d\t%lld\t%lld\t%lld\t%lld\t%.2e\t%.1f\n",
+            pident[i], length[i], mismatch[i], gapopen[i],
+            (long long)qs[i], (long long)qe[i], (long long)ss[i],
+            (long long)se[i], evalue[i], bits[i]);
+    }
+    return pos;
 }
 
 }  // extern "C"

@@ -77,3 +77,87 @@ def test_build_seed_index_uses_native(rng):
         np.testing.assert_array_equal(
             idx.positions[lo:hi], np.nonzero(keys == key)[0]
         )
+
+
+def test_m8_format_fuzz_matches_python(rng):
+    """The C printf path must reproduce CPython's f-string bytes exactly
+    for every column format (:.2f, ints, :.2e, :.1f), including ties and
+    extreme magnitudes (report.write_hits fast path)."""
+    if not native.available() or native.m8_format(
+        np.zeros(0, np.int32), b"", np.zeros(1, np.int64),
+        np.zeros(0, np.int32), b"", np.zeros(1, np.int64),
+        *([np.zeros(0)] * 10),
+    ) is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    n = 4096
+    pid = rng.random(n) * 100
+    pid[:16] = [0.125, 99.995, 100.0, 0.005, 2.675, 33.335, 66.665, 0.0,
+                12.345, 87.655, 0.015, 0.025, 49.995, 50.005, 1.115, 3.885]
+    ev = 10.0 ** (rng.random(n) * 40 - 35)
+    ev[:6] = [0.0, 1e-300, 9.995e-10, 2.5e-3, 9.999, 1.0]
+    bits = rng.random(n) * 500
+    bits[:6] = [0.05, 0.15, 0.25, 99.95, 123.45, 0.0]
+    ints = [rng.integers(0, 2**31 - 1, n).astype(np.int32) for _ in range(3)]
+    i64s = [rng.integers(0, 2**40, n).astype(np.int64) for _ in range(4)]
+    qnames = [f"q{i}" for i in range(n)]
+    snames = [f"subj_{i}" for i in range(n)]
+    from ghostm_tpu.report import _name_arena
+
+    qarena, qoff = _name_arena(qnames)
+    sarena, soff = _name_arena(snames)
+    idx = np.arange(n, dtype=np.int32)
+    got = native.m8_format(
+        idx, qarena, qoff, idx, sarena, soff,
+        pid, ints[0], ints[1], ints[2], i64s[0], i64s[1], i64s[2], i64s[3],
+        ev, bits,
+    )
+    assert got is not None
+    want = "".join(
+        f"{qnames[i]}\t{snames[i]}\t{pid[i]:.2f}\t{ints[0][i]}\t"
+        f"{ints[1][i]}\t{ints[2][i]}\t{i64s[0][i]}\t{i64s[1][i]}\t"
+        f"{i64s[2][i]}\t{i64s[3][i]}\t{ev[i]:.2e}\t{bits[i]:.1f}\n"
+        for i in range(n)
+    )
+    assert got.decode() == want
+
+
+def test_write_hits_native_equals_python():
+    """End-to-end: write_hits with a SubjectNames arena (native fast path)
+    must emit byte-identical output to the plain-dict Python loop."""
+    import io
+
+    from ghostm_tpu.config import Config
+    from ghostm_tpu.engine import BatchHits
+    from ghostm_tpu.report import SubjectNames, write_hits
+
+    rng2 = np.random.default_rng(7)
+    R, K = 128, 5
+    z = np.zeros((R, K), np.int32)
+    hits = BatchHits(
+        rng2.integers(0, 120, (R, K)).astype(np.int32),
+        rng2.integers(0, 500, (R, K)).astype(np.int32),
+        rng2.integers(0, 6, (R, K)).astype(np.int32),
+        rng2.integers(10, 33, (R, K)).astype(np.int32),
+        rng2.integers(50, 300, (R, K)).astype(np.int32),
+        rng2.integers(10, 33, (R, K)).astype(np.int32), z, z, z,
+    )
+    stats = {
+        k: rng2.integers(0, 30, (R, K)).astype(np.int32)
+        for k in ("qstart", "qend", "sstart", "send", "length", "matches",
+                  "mismatch", "gapopen")
+    }
+    stats["length"] = np.maximum(stats["length"], 1)
+    names = [f"read{i}" for i in range(R)]
+    d = {i: f"s{i}" for i in range(500)}
+    lens = np.full(R, 100, np.int32)
+    cfg = Config(query_batch=R, seed_len=4)
+    b1, b2 = io.StringIO(), io.StringIO()
+    n1 = write_hits(b1, cfg, names, lens, d, hits, stats, 10**6, 500)
+    n2 = write_hits(
+        b2, cfg, names, lens, SubjectNames(d), hits, stats, 10**6, 500
+    )
+    assert n1 == n2
+    assert b1.getvalue() == b2.getvalue()
+    assert n1 > 0
