@@ -43,20 +43,35 @@ def spawn(pid, port, idx, rfa, out, batch, resume=False):
         "--coordinator", f"localhost:{port}", "--num-processes", "2",
         "--process-id", str(pid),
     ] + (["--resume"] if resume else [])
-    return subprocess.Popen(
-        cmd, cwd=REPO, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-    )
+    logf = open(f"/tmp/mp_worker_p{pid}{'_r' if resume else ''}.log", "w")
+    env = dict(os.environ, PYTHONUNBUFFERED="1")
+    return subprocess.Popen(cmd, cwd=REPO, stdout=logf, stderr=logf, env=env)
 
 
 def run_pair(port, idx, rfa, out, batch, resume=False, kill_after=None,
              timeout=14400):
+    """kill_after counts from the FIRST completed part, not from launch:
+    the 2-process pair's distributed+engine init is much slower than the
+    single-process reference's (whose wall sizes the kill fraction), so a
+    launch-anchored timer can fire before any part exists — killing a run
+    that has made no progress rehearses nothing."""
     t0 = time.time()
     p0 = spawn(0, port, idx, rfa, out, batch, resume)
     p1 = spawn(1, port, idx, rfa, out, batch, resume)
     killed = False
+    parts_dir = out + ".parts"
+    t_progress = None
     while True:
         r0, r1 = p0.poll(), p1.poll()
-        if kill_after and not killed and time.time() - t0 > kill_after:
+        if kill_after and not killed and t_progress is None:
+            try:
+                if any(p.endswith(".tsv")
+                       for p in os.listdir(parts_dir)):
+                    t_progress = time.time()
+            except FileNotFoundError:
+                pass
+        if (kill_after and not killed and t_progress is not None
+                and time.time() - t_progress > kill_after):
             p1.send_signal(signal.SIGKILL)      # hard kill, no cleanup
             killed = True
             # p0 blocks on the dead peer's next collective forever;
@@ -98,14 +113,27 @@ def main():
 
     # 1. single-process reference (loop path: colocated shards MERGED)
     ref = os.path.join(CACHE, "hits_mp_ref.tsv")
-    t0 = time.time()
-    r = subprocess.run(
-        [sys.executable, "-m", "ghostm_tpu", "aln", "-d", idx, "-i", rfa,
-         "-o", ref, "--cpu", "1", "--batch", str(args.batch)],
-        cwd=REPO, timeout=14400,
-    )
-    assert r.returncode == 0
-    art["ref_wall_s"] = round(time.time() - t0, 1)
+    ref_meta = ref + ".meta.json"
+    cached = None
+    if os.path.exists(ref) and os.path.exists(ref_meta):
+        with open(ref_meta) as f:
+            cached = json.load(f)
+        if cached.get("reads") != args.reads or \
+                cached.get("batch") != args.batch:
+            cached = None
+    if cached is None:
+        t0 = time.time()
+        r = subprocess.run(
+            [sys.executable, "-m", "ghostm_tpu", "aln", "-d", idx, "-i",
+             rfa, "-o", ref, "--cpu", "1", "--batch", str(args.batch)],
+            cwd=REPO, timeout=14400,
+        )
+        assert r.returncode == 0
+        cached = {"reads": args.reads, "batch": args.batch,
+                  "wall_s": round(time.time() - t0, 1)}
+        with open(ref_meta, "w") as f:
+            json.dump(cached, f)
+    art["ref_wall_s"] = cached["wall_s"]
     print(f"ref done {art['ref_wall_s']}s", flush=True)
 
     # 2. mp run with mid-run SIGKILL + resume

@@ -261,7 +261,10 @@ def main():
                 dna[r0 : r0 + cfg.query_batch],
                 lens[r0 : r0 + cfg.query_batch],
             ))
-            subs.append(np.where(out[0] > 0, out[1], -1))  # (r, K) gsid
+            # out may be the (6, R, K) packed transport or the full
+            # (18, R, K) payload — unpack_results handles both
+            bh, _ = eng.unpack_results(out)
+            subs.append(np.where(bh.score > 0, bh.gsid, -1))  # (r, K)
         results[tag] = np.concatenate(subs, axis=0)
         print(f"# engine pass {tag} done ({time.time()-t_all:.0f}s)",
               file=sys.stderr, flush=True)
