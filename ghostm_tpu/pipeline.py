@@ -122,10 +122,33 @@ def run_search(
         cursor_path = os.path.join(
             parts_dir, f"cursor-p{jax.process_index()}.json"
         )
-        if resume and os.path.exists(cursor_path):
-            with open(cursor_path) as f:
-                done = json.load(f)["completed_batches"]
-            log.info("resuming after %d completed batches", done)
+        if resume:
+            # Every process must resume from the SAME batch index (the
+            # streaming loop is a sequence of global collectives), but
+            # per-process cursors legitimately disagree after a mid-run
+            # failure — each process checkpoints independently, so a
+            # SIGKILL can land between one process's cursor write and
+            # its peer's. Resume from the MINIMUM across all process
+            # cursors (missing cursor = 0): batches some process never
+            # finished are re-run by everyone; part writes are
+            # tmp+rename overwrites with byte-identical content, so
+            # re-running a completed batch is idempotent. Found by
+            # tools/bench_scale_mp.py's kill+resume rehearsal (the
+            # per-process resume diverged and tripped the multihost
+            # same-value assert on the first re-dispatched batch).
+            dones = []
+            for pi in range(jax.process_count()):
+                cp = os.path.join(parts_dir, f"cursor-p{pi}.json")
+                try:
+                    with open(cp) as f:
+                        dones.append(json.load(f)["completed_batches"])
+                except (FileNotFoundError, ValueError, KeyError):
+                    dones.append(0)
+            done = min(dones)
+            log.info(
+                "resuming after %d completed batches (process cursors: %s)",
+                done, dones,
+            )
     pending = None  # (bi, names, lens, nreads, R, dev_or_(hits, stats), t0)
 
     def _write_part(part, names, lens, hits, stats):

@@ -165,7 +165,7 @@ def main():
     with open(out, "rb") as f:
         got = f.read()
     art["mp_equals_single_process"] = bool(want == got)
-    acc, hitrate = top1_accuracy(out, subj, args.reads)
+    acc, hitrate = top1_accuracy(out, subj[: args.reads], args.reads)
     art["top1_acc"] = round(acc, 4)
     art["hit_rate"] = round(hitrate, 4)
     art["protocol"] = (
